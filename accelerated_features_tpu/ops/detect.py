@@ -1,0 +1,130 @@
+"""Sparse keypoint extraction post-processing, fixed-shape TPU-native.
+
+Replaces the reference's dynamic-shape pipeline (xfeat.py:49-103, 242-263)
+with dense masked computation + one `lax.top_k`:
+
+  reference:  softmax->pixelshuffle heatmap; 5x5 maxpool NMS; per-item
+              `.nonzero()` (device->host sync!); python pad loop; sparse
+              score sampling; argsort; gather top-k.
+  here:       heatmap decode (pure XLA); dense local-max mask via
+              reduce_window; a *dense* score map computed with the exact
+              sampling semantics the reference applies at sparse points
+              (nearest on the full-res heatmap == identity w/ last-row/col
+              OOB; bilinear on the /8 reliability map); invalid pixels
+              scored -1; single top_k over H*W. No host syncs, no dynamic
+              shapes, batched end-to-end.
+
+Selection semantics match the reference exactly: the reference keeps all
+local maxima above threshold, scores them with nearest(K1h)*bilinear(H1),
+argsorts descending and truncates to top_k, padding with score -1
+(xfeat.py:74-87). Our dense score map assigns non-maxima -1 and takes the
+same top_k, so the selected set and ordering coincide (up to score ties).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def heatmap_decode(logits: jax.Array, softmax_temp: float = 1.0) -> jax.Array:
+    """Keypoint logits (B,h,w,65) -> full-res heatmap (B, h*8, w*8).
+
+    Softmax over the 65 bins, drop the dustbin, pixel-shuffle the 64 in-cell
+    bins (channel = 8*dy + dx) to 8x8 pixels (reference xfeat.py:242-247)."""
+    b, h, w, _ = logits.shape
+    scores = jax.nn.softmax(logits * softmax_temp, axis=-1)[..., :64]
+    scores = scores.reshape(b, h, w, 8, 8)          # (B,h,w,dy,dx)
+    scores = scores.transpose(0, 1, 3, 2, 4)        # (B,h,dy,w,dx)
+    return scores.reshape(b, h * 8, w * 8)
+
+
+def local_max_mask(heat: jax.Array, threshold: float = 0.05,
+                   kernel_size: int = 5) -> jax.Array:
+    """(B,H,W) -> bool mask of 5x5 local maxima above threshold
+    (reference NMS, xfeat.py:249-253). Ties inside the window all pass, same
+    as the reference's `x == maxpool(x)` test."""
+    pad = kernel_size // 2
+    lmax = jax.lax.reduce_window(
+        heat, -jnp.inf, jax.lax.max,
+        (1, kernel_size, kernel_size), (1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad)])
+    return (heat == lmax) & (heat > threshold)
+
+
+def _upsample_reliability(rel: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Dense equivalent of bilinearly sampling the /8 reliability map at every
+    integer full-res pixel with the reference convention
+    (interpolator.py:17-32): ix = x * w/(W-1) - 0.5, zeros padding.
+
+    Separable 1-D lerps along W then H (cheap, fully vectorized)."""
+    b, h, w = rel.shape
+    H, W = out_hw
+
+    def lerp_axis(arr, in_size, out_size, axis):
+        i = jnp.arange(out_size, dtype=jnp.float32)
+        src = i * (in_size / (out_size - 1)) - 0.5
+        i0 = jnp.floor(src).astype(jnp.int32)
+        t = src - i0
+        v0_in = (i0 >= 0) & (i0 < in_size)
+        v1_in = (i0 + 1 >= 0) & (i0 + 1 < in_size)
+        g0 = jnp.take(arr, jnp.clip(i0, 0, in_size - 1), axis=axis)
+        g1 = jnp.take(arr, jnp.clip(i0 + 1, 0, in_size - 1), axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = out_size
+        t = t.reshape(shape)
+        m0 = v0_in.reshape(shape).astype(arr.dtype)
+        m1 = v1_in.reshape(shape).astype(arr.dtype)
+        return g0 * m0 * (1 - t) + g1 * m1 * t
+
+    out = lerp_axis(rel, w, W, axis=2)
+    out = lerp_axis(out, h, H, axis=1)
+    return out
+
+
+def score_map(kpt_heat: jax.Array, reliability: jax.Array,
+              threshold: float = 0.05, kernel_size: int = 5) -> jax.Array:
+    """Dense keypoint score map (B,H,W): nearest(K1h) * bilinear(H1) at local
+    maxima, -1 elsewhere (reference xfeat.py:74-80 semantics).
+
+    `reliability` is the /8 map (B,h,w) (squeezed heatmap head output).
+    The reference's 'nearest' sampling of the full-res heatmap at integer
+    pixels is the identity except at the last row/column where torch's
+    half-to-even rounding falls out of bounds (zeros padding) — reproduced by
+    zeroing that border (H, W are /32-divisible hence even).
+    Pixel (0,0) is forced to -1, mirroring the reference's padding-kill
+    `scores[all(mkpts==0)] = -1` (xfeat.py:80)."""
+    b, H, W = kpt_heat.shape
+    mask = local_max_mask(kpt_heat, threshold, kernel_size)
+
+    near = kpt_heat.at[:, :, W - 1].set(0.0).at[:, H - 1, :].set(0.0)
+    rel_up = _upsample_reliability(reliability, (H, W))
+    scores = near * rel_up
+    scores = jnp.where(mask, scores, -1.0)
+    scores = scores.at[:, 0, 0].set(-1.0)
+    return scores
+
+
+def topk_keypoints(scores: jax.Array, top_k: int
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Dense (B,H,W) score map -> ((B,K,2) int xy keypoints, (B,K) scores),
+    sorted by descending score. Invalid slots have score <= 0 (same contract
+    as the reference's `valid = scores > 0`, xfeat.py:98)."""
+    b, h, w = scores.shape
+    flat = scores.reshape(b, h * w)
+    top_scores, idx = jax.lax.top_k(flat, top_k)
+    xs = (idx % w).astype(jnp.int32)
+    ys = (idx // w).astype(jnp.int32)
+    return jnp.stack([xs, ys], axis=-1), top_scores
+
+
+def dense_topk(feat_flat: jax.Array, rel_flat: jax.Array, top_k: int):
+    """Semi-dense extraction selector (reference extractDense,
+    xfeat.py:356-377): top-k /8 cells by reliability; gather descriptors.
+
+    feat_flat: (B, h*w, C); rel_flat: (B, h*w) -> (idx (B,K), feats (B,K,C))."""
+    scores, idx = jax.lax.top_k(rel_flat, top_k)
+    feats = jnp.take_along_axis(feat_flat, idx[..., None], axis=1)
+    return idx, feats

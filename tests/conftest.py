@@ -1,0 +1,29 @@
+"""Test harness config: force JAX onto a virtual 8-device CPU mesh so all
+sharding/multi-chip logic is exercised without TPU hardware (the driver
+validates the real multi-chip path separately via __graft_entry__)."""
+
+import os
+
+# Must run before `import jax` anywhere in the test session.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _reference_available():
+    return os.path.isdir("/root/reference/modules")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "reference_parity: needs the read-only reference mount")
