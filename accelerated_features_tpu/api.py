@@ -1,0 +1,285 @@
+"""User-facing API — mirrors the reference `XFeat` class surface
+(reference modules/xfeat.py:17-403) on top of the fixed-shape jitted
+pipelines.
+
+Differences by design (TPU-native):
+  * every device program is a cached `jax.jit` specialization keyed on
+    (input shape, top_k, thresholds); no host<->device syncs inside.
+  * batched inputs are first-class; ragged per-image results only
+    materialize at the API edge via the validity masks.
+  * weights load from a .npz pytree or a torch state_dict file.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.backbone import xfeat_forward
+from .models.params import (fold_batchnorm, import_torch_state_dict,
+                            init_xfeat_params)
+from .ops.extraction import detect_and_compute, detect_and_compute_dense
+from .ops.matching import batch_mnn_match, batch_mnn_match_dense, mnn_match
+from .ops.refine import refine_matches
+
+ArrayLike = Union[np.ndarray, jax.Array]
+
+
+def load_params(weights: Optional[Union[str, Dict[str, Any]]],
+                fold_bn: bool = True) -> Dict[str, Any]:
+    """Load model params from .npz (our format), .pt/.pth (torch state_dict)
+    or an in-memory state dict / pytree. None -> random init."""
+    if weights is None:
+        params = init_xfeat_params(jax.random.key(0))
+    elif isinstance(weights, str):
+        if weights.endswith(".npz"):
+            data = np.load(weights, allow_pickle=True)
+            flat = {k: jnp.asarray(v) for k, v in data.items()}
+            params = _unflatten(flat)
+        else:
+            import torch
+            sd = torch.load(weights, map_location="cpu", weights_only=True)
+            params = import_torch_state_dict(sd)
+    elif isinstance(weights, dict) and any("." in k for k in weights):
+        params = import_torch_state_dict(weights)
+    else:
+        params = weights
+    return fold_batchnorm(params) if fold_bn else params
+
+
+def save_params(params: Dict[str, Any], path: str) -> None:
+    flat = _flatten(params)
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def _flatten(tree, prefix="") -> Dict[str, Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten(flat: Dict[str, Any]):
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(k.isdigit() for k in node):
+                return [listify(node[str(i)]) for i in range(len(node))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(tree)
+
+
+class XFeat:
+    """TPU-native XFeat inference engine.
+
+    Method surface mirrors the reference class (xfeat.py:17-403):
+    detectAndCompute, detectAndComputeDense, match, batch_match,
+    match_xfeat, match_xfeat_star, match_lighterglue, refine_matches.
+    """
+
+    def __init__(self, weights: Optional[Union[str, dict]] = None,
+                 top_k: int = 4096, detection_threshold: float = 0.05,
+                 compute_dtype: str = "float32"):
+        self.params = load_params(weights)
+        self.top_k = top_k
+        self.detection_threshold = detection_threshold
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
+            else jnp.float32
+        self._lighterglue = None
+
+    # ---------------- jitted device programs (cached per static config) ----
+
+    @functools.lru_cache(maxsize=64)
+    def _dac_fn(self, top_k, thr):
+        return jax.jit(functools.partial(
+            detect_and_compute, top_k=top_k, detection_threshold=thr,
+            compute_dtype=self.compute_dtype))
+
+    @functools.lru_cache(maxsize=64)
+    def _dacd_fn(self, top_k, multiscale):
+        return jax.jit(functools.partial(
+            detect_and_compute_dense, top_k=top_k, multiscale=multiscale,
+            compute_dtype=self.compute_dtype))
+
+    @functools.lru_cache(maxsize=8)
+    def _match_fn(self, min_cossim):
+        return jax.jit(functools.partial(mnn_match, min_cossim=min_cossim))
+
+    @functools.lru_cache(maxsize=8)
+    def _batch_match_fn(self, min_cossim):
+        return jax.jit(functools.partial(batch_mnn_match_dense,
+                                         min_cossim=min_cossim))
+
+    @functools.lru_cache(maxsize=8)
+    def _refine_fn(self, fine_conf):
+        return jax.jit(functools.partial(refine_matches,
+                                         fine_conf=fine_conf))
+
+    # ---------------- input handling ----------------------------------------
+
+    def parse_input(self, x: ArrayLike) -> jnp.ndarray:
+        """(H,W[,C]) or (B,H,W,C) uint8/float -> (B,H,W,C) float in [0,1]
+        (reference parse_input, xfeat.py:396-403, but NHWC)."""
+        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        if x.ndim == 2:
+            x = x[..., None]
+        if x.ndim == 3:
+            x = x[None]
+        if x.dtype == np.uint8 or (hasattr(x, "dtype") and
+                                   x.dtype == jnp.uint8):
+            x = jnp.asarray(x).astype(jnp.float32) / 255.0
+        return jnp.asarray(x, dtype=jnp.float32)
+
+    # ---------------- public API --------------------------------------------
+
+    def detectAndCompute(self, x: ArrayLike, top_k: Optional[int] = None,
+                         detection_threshold: Optional[float] = None
+                         ) -> List[Dict[str, np.ndarray]]:
+        """Sparse extraction (reference xfeat.py:49-103). Returns per-image
+        dicts of compacted numpy arrays: keypoints (N,2), scores (N,),
+        descriptors (N,64)."""
+        top_k = top_k or self.top_k
+        thr = detection_threshold if detection_threshold is not None \
+            else self.detection_threshold
+        x = self.parse_input(x)
+        out = self._dac_fn(top_k, thr)(self.params, x)
+        out = jax.device_get(out)
+        res = []
+        for b in range(x.shape[0]):
+            v = out["valid"][b]
+            res.append({
+                "keypoints": out["keypoints"][b][v],
+                "scores": out["scores"][b][v],
+                "descriptors": out["descriptors"][b][v],
+            })
+        return res
+
+    def detectAndComputeDense(self, x: ArrayLike,
+                              top_k: Optional[int] = None,
+                              multiscale: bool = True
+                              ) -> Dict[str, np.ndarray]:
+        """Semi-dense coarse extraction (reference xfeat.py:105-128)."""
+        top_k = top_k or self.top_k
+        x = self.parse_input(x)
+        out = self._dacd_fn(top_k, multiscale)(self.params, x)
+        return jax.device_get(out)
+
+    def match(self, feats1: ArrayLike, feats2: ArrayLike,
+              min_cossim: float = 0.82) -> Tuple[np.ndarray, np.ndarray]:
+        """MNN match of two descriptor sets (reference xfeat.py:327-348).
+        Returns (idx0, idx1) compacted numpy index arrays."""
+        d1 = jnp.asarray(feats1, jnp.float32)
+        d2 = jnp.asarray(feats2, jnp.float32)
+        k = max(d1.shape[0], d2.shape[0])
+        d1p = jnp.zeros((k, d1.shape[1]), jnp.float32).at[:d1.shape[0]].set(d1)
+        d2p = jnp.zeros((k, d2.shape[1]), jnp.float32).at[:d2.shape[0]].set(d2)
+        v1 = (jnp.arange(k) < d1.shape[0])
+        v2 = (jnp.arange(k) < d2.shape[0])
+        idx1, mask = jax.jit(functools.partial(
+            mnn_match, min_cossim=min_cossim))(d1p, d2p, v1, v2)
+        idx1, mask = np.asarray(idx1), np.asarray(mask)
+        idx0 = np.nonzero(mask)[0]
+        return idx0, idx1[idx0]
+
+    def batch_match(self, feats1: ArrayLike, feats2: ArrayLike,
+                    min_cossim: float = -1.0):
+        """Batched MNN (reference xfeat.py:265-290). Returns list of
+        (idx0, idx1) per batch item."""
+        idx1, mask = self._batch_match_fn(min_cossim)(
+            jnp.asarray(feats1, jnp.float32), jnp.asarray(feats2, jnp.float32))
+        idx1, mask = np.asarray(idx1), np.asarray(mask)
+        out = []
+        for b in range(idx1.shape[0]):
+            idx0 = np.nonzero(mask[b])[0]
+            out.append((idx0, idx1[b][idx0]))
+        return out
+
+    def match_xfeat(self, img1: ArrayLike, img2: ArrayLike,
+                    top_k: Optional[int] = None, min_cossim: float = -1.0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sparse pipeline: extract x2 + MNN (reference xfeat.py:165-186)."""
+        top_k = top_k or self.top_k
+        out1 = self.detectAndCompute(img1, top_k=top_k)[0]
+        out2 = self.detectAndCompute(img2, top_k=top_k)[0]
+        idx0, idx1 = self.match(out1["descriptors"], out2["descriptors"],
+                                min_cossim=min_cossim)
+        return out1["keypoints"][idx0], out2["keypoints"][idx1]
+
+    def match_xfeat_star(self, im_set1: ArrayLike, im_set2: ArrayLike,
+                         top_k: Optional[int] = None):
+        """Semi-dense pipeline: dual-scale extract + batched MNN + batched
+        refinement (reference xfeat.py:188-217). Returns (mkpts0, mkpts1) for
+        a single pair or a list of (N,4) arrays for batches."""
+        top_k = top_k or self.top_k
+        x1 = self.parse_input(im_set1)
+        x2 = self.parse_input(im_set2)
+        B = x1.shape[0]
+
+        out1 = self._dacd_fn(top_k, True)(self.params, x1)
+        out2 = self._dacd_fn(top_k, True)(self.params, x2)
+        idx1, mmask = self._batch_match_fn(-1.0)(out1["descriptors"],
+                                                 out2["descriptors"])
+        mk0, mk1, conf, mask = self._refine_fn(0.25)(
+            self.params, out1["keypoints"], out2["keypoints"],
+            out1["descriptors"], out2["descriptors"], out1["scales"],
+            idx1, mmask)
+        mk0, mk1, mask = map(np.asarray, (mk0, mk1, mask))
+        matches = [np.concatenate([mk0[b][mask[b]], mk1[b][mask[b]]], axis=-1)
+                   for b in range(B)]
+        if B == 1:
+            return matches[0][:, :2], matches[0][:, 2:]
+        return matches
+
+    def refine_matches(self, d0, d1, matches, batch_idx, fine_conf=0.25):
+        """Per-item refinement entry (reference xfeat.py:306-325) for API
+        compatibility; prefer match_xfeat_star which is fully batched."""
+        idx0, idx1 = matches[batch_idx]
+        k = len(idx0)
+        K = d0["keypoints"].shape[1]
+        idx1_full = np.zeros((K,), np.int32)
+        mmask = np.zeros((K,), bool)
+        idx1_full[idx0] = idx1
+        mmask[idx0] = True
+        mk0, mk1, conf, mask = self._refine_fn(fine_conf)(
+            self.params,
+            jnp.asarray(d0["keypoints"][batch_idx])[None],
+            jnp.asarray(d1["keypoints"][batch_idx])[None],
+            jnp.asarray(d0["descriptors"][batch_idx])[None],
+            jnp.asarray(d1["descriptors"][batch_idx])[None],
+            jnp.asarray(d0["scales"][batch_idx])[None],
+            jnp.asarray(idx1_full)[None], jnp.asarray(mmask)[None])
+        mk0, mk1, mask = map(np.asarray, (mk0, mk1, mask))
+        return np.concatenate([mk0[0][mask[0]], mk1[0][mask[0]]], axis=-1)
+
+    def match_lighterglue(self, d0: Dict[str, Any], d1: Dict[str, Any],
+                          min_conf: float = 0.1):
+        """Attention matching with our LighterGlue (reference
+        xfeat.py:131-162 + lighterglue.py). Requires LighterGlue weights via
+        `set_lighterglue`."""
+        from .models.lighterglue import LighterGlue
+        if self._lighterglue is None:
+            self._lighterglue = LighterGlue()
+        idx = self._lighterglue.match(d0, d1, min_conf=min_conf)
+        k0 = np.asarray(d0["keypoints"])
+        k1 = np.asarray(d1["keypoints"])
+        return k0[idx[:, 0]], k1[idx[:, 1]], idx

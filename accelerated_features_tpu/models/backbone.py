@@ -81,6 +81,7 @@ def conv2d(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -135,7 +136,7 @@ def upsample_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """Bilinear resize with half-pixel centers (== torch align_corners=False,
     reference model.py:146-147)."""
     b, _, _, c = x.shape
-    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear")
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear", antialias=False)
 
 
 def input_norm(x: jax.Array) -> jax.Array:
@@ -233,9 +234,14 @@ def fine_matcher_forward(params: Dict[str, Any], x: jax.Array, *,
     Returns: (..., 64) logits [, list of bn batch stats when train=True].
     """
     stats = [] if train else None
+    def matmul(a, w):
+        return jax.lax.dot_general(
+            a, w, (((a.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+
     mlp = params["fine_matcher"]
     for i, layer in enumerate(mlp[:-1]):
-        x = x @ layer["w"].astype(x.dtype) + layer["b"].astype(x.dtype)
+        x = matmul(x, layer["w"].astype(x.dtype)) + layer["b"].astype(x.dtype)
         if train:
             xf = x.astype(jnp.float32)
             if valid is not None:
@@ -258,7 +264,7 @@ def fine_matcher_forward(params: Dict[str, Any], x: jax.Array, *,
         inv = jax.lax.rsqrt(var + BN_EPS)
         x = jnp.maximum((x - mean.astype(x.dtype)) * inv.astype(x.dtype), 0.0)
     last = mlp[-1]
-    x = x @ last["w"].astype(x.dtype) + last["b"].astype(x.dtype)
+    x = matmul(x, last["w"].astype(x.dtype)) + last["b"].astype(x.dtype)
     if train:
         return x, stats
     return x

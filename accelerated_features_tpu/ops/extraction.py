@@ -1,0 +1,125 @@
+"""End-to-end extraction pipelines (sparse + semi-dense), fixed-shape.
+
+These are the jit-compiled device programs behind the public API:
+  * `detect_and_compute`       == reference XFeat.detectAndCompute
+                                  (xfeat.py:49-103) with static (B, K, ·)
+                                  outputs + validity mask.
+  * `extract_dense`            == reference extractDense (xfeat.py:356-377).
+  * `extract_dualscale`        == reference extract_dualscale
+                                  (xfeat.py:379-394).
+  * `detect_and_compute_dense` == reference detectAndComputeDense
+                                  (xfeat.py:105-128).
+
+All functions take NHWC float images in [0, 1] and return dicts of arrays.
+Note the reference does NOT L2-normalize semi-dense descriptors
+(xfeat.py:356-377) while the sparse path normalizes twice (xfeat.py:70, 93) —
+both behaviours preserved.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..models.backbone import xfeat_forward
+from .detect import dense_topk, heatmap_decode, score_map, topk_keypoints
+from .resize import preprocess_image, resize_bilinear
+from .sample import sample_bicubic
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """torch F.normalize semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def detect_and_compute(params: Dict[str, Any], images: jax.Array,
+                       top_k: int = 4096, detection_threshold: float = 0.05,
+                       compute_dtype: jnp.dtype = jnp.float32
+                       ) -> Dict[str, jax.Array]:
+    """Sparse keypoints + scores + 64-D descriptors (xfeat.py:49-103).
+
+    Returns dict with fixed shapes:
+      keypoints (B,K,2) f32 xy in input-image coords, scores (B,K),
+      descriptors (B,K,64) L2-normalized, valid (B,K) bool.
+    """
+    x, rh, rw = preprocess_image(images)
+    H, W = x.shape[1], x.shape[2]
+
+    feats, logits, heat = xfeat_forward(params, x, compute_dtype=compute_dtype)
+    feats = l2_normalize(feats.astype(jnp.float32))
+    logits = logits.astype(jnp.float32)
+
+    kheat = heatmap_decode(logits)                       # (B, H, W)
+    scores_dense = score_map(kheat, heat[..., 0].astype(jnp.float32),
+                             detection_threshold)
+    kpts_i, scores = topk_keypoints(scores_dense, top_k)
+
+    descs = sample_bicubic(feats, kpts_i.astype(jnp.float32), (H, W))
+    descs = l2_normalize(descs)
+
+    kpts = kpts_i.astype(jnp.float32) * jnp.asarray([rw, rh], jnp.float32)
+    return {
+        "keypoints": kpts,
+        "scores": scores,
+        "descriptors": descs,
+        "valid": scores > 0,
+    }
+
+
+def extract_dense(params: Dict[str, Any], images: jax.Array, top_k: int,
+                  compute_dtype: jnp.dtype = jnp.float32):
+    """Dense /8-grid coarse features, top-k by reliability
+    (xfeat.py:356-377). Descriptors are raw (NOT L2-normalized)."""
+    x, rh, rw = preprocess_image(images)
+    feats, _, heat = xfeat_forward(params, x, compute_dtype=compute_dtype)
+    b, h, w, c = feats.shape
+    k = min(h * w, top_k)
+
+    feat_flat = feats.astype(jnp.float32).reshape(b, h * w, c)
+    rel_flat = heat.astype(jnp.float32).reshape(b, h * w)
+    idx, descs = dense_topk(feat_flat, rel_flat, k)
+
+    xs = (idx % w).astype(jnp.float32) * 8.0 * rw
+    ys = (idx // w).astype(jnp.float32) * 8.0 * rh
+    kpts = jnp.stack([xs, ys], axis=-1)
+    return kpts, descs
+
+
+def extract_dualscale(params: Dict[str, Any], images: jax.Array, top_k: int,
+                      s1: float = 0.6, s2: float = 1.3,
+                      compute_dtype: jnp.dtype = jnp.float32):
+    """Two-scale coarse extraction (xfeat.py:379-394): 20% of the budget at
+    0.6x, 80% at 1.3x, keypoints mapped back to input coords, per-keypoint
+    extraction scale recorded for the refinement step."""
+    h, w = images.shape[1], images.shape[2]
+    x1 = resize_bilinear(images, (math.floor(h * s1), math.floor(w * s1)))
+    x2 = resize_bilinear(images, (math.floor(h * s2), math.floor(w * s2)))
+
+    k1, k2 = int(top_k * 0.20), int(top_k * 0.80)
+    mk1, f1 = extract_dense(params, x1, k1, compute_dtype)
+    mk2, f2 = extract_dense(params, x2, k2, compute_dtype)
+
+    kpts = jnp.concatenate([mk1 / s1, mk2 / s2], axis=1)
+    sc = jnp.concatenate([
+        jnp.full(mk1.shape[:2], 1.0 / s1, jnp.float32),
+        jnp.full(mk2.shape[:2], 1.0 / s2, jnp.float32)], axis=1)
+    feats = jnp.concatenate([f1, f2], axis=1)
+    return kpts, sc, feats
+
+
+def detect_and_compute_dense(params: Dict[str, Any], images: jax.Array,
+                             top_k: int = 4096, multiscale: bool = True,
+                             compute_dtype: jnp.dtype = jnp.float32
+                             ) -> Dict[str, jax.Array]:
+    """Semi-dense coarse extraction dispatcher (xfeat.py:105-128)."""
+    if multiscale:
+        kpts, sc, feats = extract_dualscale(params, images, top_k,
+                                            compute_dtype=compute_dtype)
+    else:
+        kpts, feats = extract_dense(params, images, top_k, compute_dtype)
+        sc = jnp.ones(kpts.shape[:2], jnp.float32)
+    return {"keypoints": kpts, "descriptors": feats, "scales": sc}

