@@ -1,0 +1,169 @@
+"""Training losses — fixed-shape, masked re-designs of the reference losses
+(/root/reference/modules/training/losses.py). Every function takes a validity
+mask instead of relying on variable-length tensors, so the whole training
+step stays inside one jit.
+
+Loss weights match the reference: dual-softmax temp 0.2 (losses.py:10),
+coordinate loss x2 (losses.py:199), keypoint L1 x3 (losses.py:204), distill
+x2 applied in the trainer (train.py:241).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def _masked_log_softmax(logits: jax.Array, mask: jax.Array,
+                        axis: int = -1) -> jax.Array:
+    logits = jnp.where(mask, logits, NEG)
+    return jax.nn.log_softmax(logits, axis=axis)
+
+
+def dual_softmax_loss(m1: jax.Array, m2: jax.Array, valid: jax.Array,
+                      temp: float = 0.2) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric InfoNCE over corresponding descriptor pairs
+    (reference losses.py:10-28), masked.
+
+    Args:
+      m1, m2: (M, C) descriptors at corresponding locations (row i of m1
+        corresponds to row i of m2); padded rows allowed.
+      valid: (M,) bool.
+
+    Returns: (scalar loss, (M,) mutual-softmax confidence, no-grad).
+    """
+    sim = jax.lax.dot_general(m1, m2, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST) * temp
+    vmask = valid[None, :] & valid[:, None]
+    log12 = _masked_log_softmax(sim, vmask, axis=1)
+    log21 = _masked_log_softmax(sim.T, vmask, axis=1)
+
+    diag12 = jnp.diagonal(log12)
+    diag21 = jnp.diagonal(log21)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    loss = -(jnp.sum(jnp.where(valid, diag12, 0.0)) +
+             jnp.sum(jnp.where(valid, diag21, 0.0))) / n
+
+    conf12 = jnp.max(jnp.exp(log12), axis=-1)
+    conf21 = jnp.max(jnp.exp(log21), axis=-1)
+    conf = jax.lax.stop_gradient(conf12 * conf21 * valid)
+    return loss, conf
+
+
+def coordinate_classification_loss(coords_logits: jax.Array, pts1: jax.Array,
+                                   conf: jax.Array, valid: jax.Array
+                                   ) -> Tuple[jax.Array, jax.Array]:
+    """Fine offset classification (reference losses.py:170-199).
+
+    coords_logits: (M, 64) fine-matcher outputs; pts1: (M, 2) source points in
+    /8 grid coords (fractional part x8 = the 8x8 cell bin); conf: (M,)
+    confidence from dual_softmax_loss; valid: (M,) bool.
+    """
+    frac = pts1 - jnp.floor(pts1)
+    offs = jnp.floor(frac * 8.0).astype(jnp.int32)
+    labels = offs[:, 0] + 8 * offs[:, 1]
+
+    logp = jax.nn.log_softmax(coords_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+    w = jnp.where(valid, conf, 0.0)
+    w = w / jnp.maximum(jnp.sum(w), 1e-12)
+    loss = jnp.sum(nll * w) * 2.0
+
+    pred = jnp.argmax(coords_logits, axis=-1)
+    good = (pred == labels) & valid & (conf > 0.1)
+    denom = jnp.maximum(jnp.sum(valid & (conf > 0.1)), 1)
+    acc = jnp.sum(good) / denom
+    return loss, acc
+
+
+def keypoint_reliability_loss(h1: jax.Array, h2: jax.Array, conf: jax.Array,
+                              valid: jax.Array) -> jax.Array:
+    """L1 between sampled reliability values and match confidence
+    (reference keypoint_loss, losses.py:201-204, applied to both views in
+    train.py:244)."""
+    n = jnp.maximum(jnp.sum(valid), 1)
+    l1 = (jnp.sum(jnp.where(valid, jnp.abs(h1 - conf), 0.0)) +
+          jnp.sum(jnp.where(valid, jnp.abs(h2 - conf), 0.0))) / n
+    return l1 * 3.0
+
+
+def distill_labels_from_kpts(teacher_kpts: jax.Array, kpt_valid: jax.Array,
+                             h: int, w: int) -> jax.Array:
+    """Build per-/8-cell labels (0..63 bin or 64 dustbin) from teacher
+    keypoints (reference alike_distill_loss label construction,
+    losses.py:80-85; write-last-wins on cell collisions, matching the
+    reference's index_put semantics).
+
+    teacher_kpts: (T, 2) full-res xy (padded entries anywhere); kpt_valid: (T,).
+    Returns (h, w) int32 labels.
+    """
+    cell_x = jnp.clip((teacher_kpts[:, 0] / 8.0).astype(jnp.int32), 0, w - 1)
+    cell_y = jnp.clip((teacher_kpts[:, 1] / 8.0).astype(jnp.int32), 0, h - 1)
+    frac = teacher_kpts / 8.0 - jnp.floor(teacher_kpts / 8.0)
+    off = jnp.floor(frac * 8.0).astype(jnp.int32)
+    bins = off[:, 0] + 8 * off[:, 1]
+
+    labels = jnp.full((h * w,), 64, jnp.int32)
+    flat_idx = jnp.where(kpt_valid, cell_y * w + cell_x, h * w)  # OOB drop
+    labels = labels.at[flat_idx].set(jnp.where(kpt_valid, bins, 64),
+                                     mode="drop")
+    return labels.reshape(h, w)
+
+
+def distill_loss(kpt_logits: jax.Array, labels: jax.Array,
+                 rng: jax.Array, neg_ratio: int = 32
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Keypoint-head distillation (reference alike_distill_loss,
+    losses.py:74-108) with fixed-shape negative sampling.
+
+    The reference subsamples exactly n_pos//32 negative (dustbin) cells; we
+    keep all positives and weight a Bernoulli(p ~ n_pos/(32*n_neg)) subset of
+    negatives — same expected pos:neg contribution, fully static shapes.
+
+    kpt_logits: (h, w, 65); labels: (h, w) from distill_labels_from_kpts.
+    """
+    h, w, _ = kpt_logits.shape
+    logits = kpt_logits.reshape(h * w, 65)
+    lbl = labels.reshape(h * w)
+
+    pos = lbl < 64
+    n_pos = jnp.sum(pos)
+    n_neg = jnp.maximum(jnp.sum(~pos), 1)
+    p_neg = jnp.clip((n_pos.astype(jnp.float32) / neg_ratio) /
+                     n_neg.astype(jnp.float32), 0.0, 1.0)
+    keep_neg = jax.random.bernoulli(rng, p_neg, (h * w,)) & (~pos)
+    sel = pos | keep_neg
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, lbl[:, None], axis=-1)[:, 0]
+    n_sel = jnp.maximum(jnp.sum(sel), 1)
+    loss = jnp.sum(jnp.where(sel, nll, 0.0)) / n_sel
+
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.sum((pred == lbl) & sel) / n_sel
+    return loss, acc
+
+
+def hard_triplet_loss(x: jax.Array, y: jax.Array, valid: jax.Array,
+                      margin: float = 0.5) -> jax.Array:
+    """Margin ranking with hardest negative (reference losses.py:206-224),
+    masked. Kept for API completeness (unused by the default recipe, same as
+    the reference)."""
+    d2 = (jnp.sum(x ** 2, -1)[:, None] + jnp.sum(y ** 2, -1)[None, :]
+          - 2.0 * x @ y.T)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    pos = jnp.diagonal(dist)
+    big = 100.0
+    eye = jnp.eye(x.shape[0], dtype=bool)
+    neg = jnp.where(eye | (dist <= 0.01) | ~(valid[None, :] & valid[:, None]),
+                    dist + big, dist)
+    hard_neg = jnp.min(neg, axis=1)
+    l = jnp.maximum(margin + pos - hard_neg, 0.0)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, l, 0.0)) / n

@@ -1,0 +1,71 @@
+"""Benchmark: batched VGA sparse extraction throughput on one TPU chip.
+
+Headline metric vs the reference's "~1,400 FPS batched VGA on RTX 4090"
+(/root/reference/README.md:52; BASELINE.md). Measures the full sparse
+pipeline (backbone + heatmap decode + NMS + score map + top-k + bicubic
+descriptor sampling + L2 norm, reference xfeat.py:49-103 semantics) on
+device-resident inputs, steady-state, jit-compiled, bf16 compute path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 1400.0  # reference README.md:52 (RTX 4090, batched VGA)
+
+
+def main():
+    from accelerated_features_tpu.models.params import (fold_batchnorm,
+                                                        init_xfeat_params)
+    from accelerated_features_tpu.ops.extraction import detect_and_compute
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    top_k = int(os.environ.get("BENCH_TOPK", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    dev = jax.devices()[0]
+    params = fold_batchnorm(init_xfeat_params(jax.random.key(0)))
+    params = jax.device_put(params, dev)
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.uniform(0, 1, (batch, 480, 640, 3)), jnp.float32), dev)
+
+    fn = jax.jit(lambda p, x: detect_and_compute(
+        p, x, top_k=top_k, detection_threshold=0.05,
+        compute_dtype=jnp.bfloat16))
+
+    # compile + warmup
+    out = fn(params, images)
+    jax.block_until_ready(out)
+    for _ in range(3):
+        jax.block_until_ready(fn(params, images))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, images)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = batch / dt
+    result = {
+        "metric": f"sparse_extraction_vga_fps_b{batch}_k{top_k}",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

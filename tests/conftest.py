@@ -14,8 +14,19 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers the axon TPU plugin and forces
+# jax_platforms='axon,cpu' at interpreter start, overriding JAX_PLATFORMS.
+# Re-force CPU before any backend initialization so tests run on the
+# 8-device virtual CPU mesh (and don't remote-compile through the TPU relay).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}")
 
 
 @pytest.fixture

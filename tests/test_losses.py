@@ -1,0 +1,176 @@
+"""Loss parity vs the reference training losses (oracle import with the
+ALIKE teacher stubbed out — its submodule is not vendored in the mount)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from accelerated_features_tpu.train.losses import (
+    coordinate_classification_loss, distill_labels_from_kpts, distill_loss,
+    dual_softmax_loss, keypoint_reliability_loss)
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def ref_losses():
+    # stub the teacher wrapper (third_party/ALIKE submodule is not vendored)
+    stub = types.ModuleType("third_party.alike_wrapper")
+    stub.extract_alike_kpts = lambda img: np.zeros((0, 2), np.float32)
+    sys.modules.setdefault("third_party.alike_wrapper", stub)
+    # stub kornia (+ matplotlib if absent) so the reference loss module's
+    # transitive imports resolve; the oracles under test don't touch them
+    if "kornia" not in sys.modules:
+        k = types.ModuleType("kornia")
+        ku = types.ModuleType("kornia.utils")
+
+        def create_meshgrid(h, w, normalized=True, device=None):
+            ys, xs = torch.meshgrid(torch.arange(h), torch.arange(w),
+                                    indexing="ij")
+            return torch.stack([xs, ys], -1).float()[None]
+
+        ku.create_meshgrid = create_meshgrid
+        k.utils = ku
+        sys.modules["kornia"] = k
+        sys.modules["kornia.utils"] = ku
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        sys.modules["matplotlib"] = types.ModuleType("matplotlib")
+        sys.modules["matplotlib.pyplot"] = types.ModuleType(
+            "matplotlib.pyplot")
+    import importlib
+    mod = importlib.import_module("modules.training.losses")
+    return mod
+
+
+def test_dual_softmax_loss_parity(ref_losses):
+    rng = np.random.default_rng(0)
+    m1 = rng.normal(size=(64, 16)).astype(np.float32)
+    m2 = (m1 + 0.3 * rng.normal(size=(64, 16))).astype(np.float32)
+
+    tl, tconf = ref_losses.dual_softmax_loss(torch.from_numpy(m1),
+                                             torch.from_numpy(m2))
+    valid = jnp.ones((64,), bool)
+    jl, jconf = jax.jit(dual_softmax_loss)(jnp.asarray(m1), jnp.asarray(m2),
+                                           valid)
+    np.testing.assert_allclose(float(jl), float(tl), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jconf), tconf.numpy(), atol=1e-5)
+
+
+def test_dual_softmax_loss_masking():
+    """Masked padded version == compact version on the valid prefix."""
+    rng = np.random.default_rng(1)
+    m1 = rng.normal(size=(40, 16)).astype(np.float32)
+    m2 = (m1 + 0.3 * rng.normal(size=(40, 16))).astype(np.float32)
+
+    lc, cc = jax.jit(dual_softmax_loss)(jnp.asarray(m1), jnp.asarray(m2),
+                                        jnp.ones((40,), bool))
+    pad = np.zeros((24, 16), np.float32)
+    m1p = np.concatenate([m1, pad])
+    m2p = np.concatenate([m2, pad])
+    valid = jnp.arange(64) < 40
+    lp, cp = jax.jit(dual_softmax_loss)(jnp.asarray(m1p), jnp.asarray(m2p),
+                                        valid)
+    np.testing.assert_allclose(float(lp), float(lc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp)[:40], np.asarray(cc), atol=1e-6)
+    assert (np.asarray(cp)[40:] == 0).all()
+
+
+def test_coordinate_classification_loss_parity(ref_losses):
+    rng = np.random.default_rng(2)
+    n = 50
+    coords = rng.normal(size=(n, 64)).astype(np.float32)
+    pts1 = rng.uniform(0, 60, size=(n, 2)).astype(np.float32)
+    conf = rng.uniform(0.05, 1.0, size=(n,)).astype(np.float32)
+
+    tl, tacc = ref_losses.coordinate_classification_loss(
+        torch.from_numpy(coords), torch.from_numpy(pts1),
+        torch.from_numpy(pts1), torch.from_numpy(conf))
+    jl, jacc = jax.jit(coordinate_classification_loss)(
+        jnp.asarray(coords), jnp.asarray(pts1), jnp.asarray(conf),
+        jnp.ones((n,), bool))
+    np.testing.assert_allclose(float(jl), float(tl), atol=1e-4)
+    np.testing.assert_allclose(float(jacc), float(tacc), atol=1e-5)
+
+
+def test_keypoint_loss_parity(ref_losses):
+    rng = np.random.default_rng(3)
+    n = 64
+    h1 = rng.uniform(0, 1, size=(n,)).astype(np.float32)
+    h2 = rng.uniform(0, 1, size=(n,)).astype(np.float32)
+    conf = rng.uniform(0, 1, size=(n,)).astype(np.float32)
+
+    tl = (ref_losses.keypoint_loss(torch.from_numpy(h1), torch.from_numpy(conf))
+          + ref_losses.keypoint_loss(torch.from_numpy(h2),
+                                     torch.from_numpy(conf)))
+    jl = jax.jit(keypoint_reliability_loss)(
+        jnp.asarray(h1), jnp.asarray(h2), jnp.asarray(conf),
+        jnp.ones((n,), bool))
+    np.testing.assert_allclose(float(jl), float(tl), atol=1e-5)
+
+
+def test_distill_labels(ref_losses):
+    """Label construction parity with alike_distill_loss's label block
+    (losses.py:80-85)."""
+    rng = np.random.default_rng(4)
+    h = w = 8
+    kpts = rng.uniform(0, 63.9, size=(10, 2)).astype(np.float32)
+
+    labels_t = torch.ones((h, w), dtype=torch.long) * 64
+    ak = torch.from_numpy(kpts)
+    offsets = (((ak / 8) - (ak / 8).long()) * 8).long()
+    offsets = offsets[:, 0] + 8 * offsets[:, 1]
+    labels_t[(ak[:, 1] / 8).long(), (ak[:, 0] / 8).long()] = offsets
+
+    ours = np.asarray(jax.jit(
+        lambda k, v: distill_labels_from_kpts(k, v, h, w))(
+            jnp.asarray(kpts), jnp.ones((10,), bool)))
+    np.testing.assert_array_equal(ours, labels_t.numpy())
+
+
+def test_distill_loss_runs():
+    rng = np.random.default_rng(5)
+    h = w = 8
+    logits = jnp.asarray(rng.normal(size=(h, w, 65)), jnp.float32)
+    kpts = jnp.asarray(rng.uniform(0, 63, size=(20, 2)), jnp.float32)
+    labels = distill_labels_from_kpts(kpts, jnp.ones((20,), bool), h, w)
+    loss, acc = jax.jit(distill_loss)(logits, labels, jax.random.key(0))
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_train_step_descends():
+    """A few steps on a fixed synthetic batch reduce the loss."""
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.train.trainer import (
+        TrainConfig, init_train_state, train_step)
+
+    cfg = TrainConfig(use_distill=False, lr=2e-3)
+    params = init_xfeat_params(jax.random.key(0))
+    state = init_train_state(params, cfg)
+
+    rng = np.random.default_rng(0)
+    B, H, W, M = 2, 64, 64, 32
+    batch = {
+        "image0": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
+        "image1": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
+        "corrs": jnp.asarray(rng.integers(0, H // 8, (B, M, 4)), jnp.float32),
+        "corr_valid": jnp.ones((B, M), bool),
+    }
+    step = jax.jit(lambda s, b, r: train_step(s, b, r, cfg))
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss_total"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state["step"]) == 8
