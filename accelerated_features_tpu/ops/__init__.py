@@ -6,8 +6,8 @@ from .matching import batch_mnn_match, batch_mnn_match_dense, mnn_match
 from .refine import refine_matches, subpix_softmax2d
 from .resize import (preprocess_image, preprocess_shape, resize_bilinear,
                      resize_nearest_torch)
-from .sample import (interpolate_sparse2d, sample_bicubic, sample_bilinear,
-                     sample_nearest)
+from .sample import (interpolate_sparse2d, sample_bicubic,
+                     sample_bicubic_matmul, sample_bilinear, sample_nearest)
 
 __all__ = [
     "heatmap_decode", "local_max_mask", "score_map", "topk_keypoints",
@@ -16,5 +16,6 @@ __all__ = [
     "batch_mnn_match", "batch_mnn_match_dense", "refine_matches",
     "subpix_softmax2d", "preprocess_image", "preprocess_shape",
     "resize_bilinear", "resize_nearest_torch", "interpolate_sparse2d",
-    "sample_bicubic", "sample_bilinear", "sample_nearest",
+    "sample_bicubic", "sample_bicubic_matmul", "sample_bilinear",
+    "sample_nearest",
 ]

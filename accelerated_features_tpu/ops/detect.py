@@ -111,12 +111,32 @@ def topk_keypoints(scores: jax.Array, top_k: int
                    ) -> Tuple[jax.Array, jax.Array]:
     """Dense (B,H,W) score map -> ((B,K,2) int xy keypoints, (B,K) scores),
     sorted by descending score. Invalid slots have score <= 0 (same contract
-    as the reference's `valid = scores > 0`, xfeat.py:98)."""
+    as the reference's `valid = scores > 0`, xfeat.py:98).
+
+    Fast path: the 5x5 NMS guarantees two (tie-free) local maxima are >= 3
+    apart in Chebyshev distance, so each 2x2 tile holds at most one positive
+    score — an exact 2x2 max-reduction shrinks the top-k problem 4x (a large
+    win on TPU, where top_k cost scales with the scan length). Exact up to
+    ties inside a tile, which for real score maps (softmax*sigmoid products)
+    occur only on degenerate flat inputs."""
     b, h, w = scores.shape
-    flat = scores.reshape(b, h * w)
-    top_scores, idx = jax.lax.top_k(flat, top_k)
-    xs = (idx % w).astype(jnp.int32)
-    ys = (idx // w).astype(jnp.int32)
+    if h % 2 or w % 2:
+        flat = scores.reshape(b, h * w)
+        top_scores, idx = jax.lax.top_k(flat, top_k)
+        xs = (idx % w).astype(jnp.int32)
+        ys = (idx // w).astype(jnp.int32)
+        return jnp.stack([xs, ys], axis=-1), top_scores
+
+    s4 = scores.reshape(b, h // 2, 2, w // 2, 2)
+    s4 = s4.transpose(0, 1, 3, 2, 4).reshape(b, h // 2, w // 2, 4)
+    best = jnp.max(s4, axis=-1)
+    arg = jnp.argmax(s4, axis=-1).astype(jnp.int32)
+    top_scores, idx = jax.lax.top_k(best.reshape(b, -1), top_k)
+    sub = jnp.take_along_axis(arg.reshape(b, -1), idx, axis=1)
+    ty = idx // (w // 2)
+    tx = idx % (w // 2)
+    ys = (ty * 2 + sub // 2).astype(jnp.int32)
+    xs = (tx * 2 + sub % 2).astype(jnp.int32)
     return jnp.stack([xs, ys], axis=-1), top_scores
 
 

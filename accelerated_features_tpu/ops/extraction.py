@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..models.backbone import xfeat_forward
 from .detect import dense_topk, heatmap_decode, score_map, topk_keypoints
 from .resize import preprocess_image, resize_bilinear
-from .sample import sample_bicubic
+from .sample import sample_bicubic, sample_bicubic_matmul
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
@@ -58,7 +58,12 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
                              detection_threshold)
     kpts_i, scores = topk_keypoints(scores_dense, top_k)
 
-    descs = sample_bicubic(feats, kpts_i.astype(jnp.float32), (H, W))
+    if compute_dtype == jnp.bfloat16:
+        # throughput path: bicubic as MXU matmuls (see sample_bicubic_matmul)
+        descs = sample_bicubic_matmul(feats, kpts_i.astype(jnp.float32),
+                                      (H, W))
+    else:
+        descs = sample_bicubic(feats, kpts_i.astype(jnp.float32), (H, W))
     descs = l2_normalize(descs)
 
     kpts = kpts_i.astype(jnp.float32) * jnp.asarray([rw, rh], jnp.float32)

@@ -153,3 +153,53 @@ def test_subpix_softmax2d_parity():
 
     ours = np.asarray(jax.jit(subpix_softmax2d)(jnp.asarray(logits)))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_bicubic_matmul_matches_gather():
+    """MXU-matmul bicubic == 16-tap gather bicubic (throughput path parity)."""
+    from accelerated_features_tpu.ops import sample_bicubic_matmul
+    rng = np.random.default_rng(9)
+    B, h, w, C = 2, 12, 16, 8
+    H, W = 96, 128
+    maps = rng.normal(size=(B, h, w, C)).astype(np.float32)
+    pos = np.concatenate([
+        rng.uniform(0, [W - 1, H - 1], size=(B, 30, 2)),
+        np.tile(np.array([[0.0, 0.0], [W - 1.0, H - 1.0]], np.float32),
+                (B, 1, 1)),
+    ], axis=1).astype(np.float32)
+    exact = np.asarray(jax.jit(
+        lambda m, p: interpolate_sparse2d(m, p, H, W, "bicubic"))(
+            jnp.asarray(maps), jnp.asarray(pos)))
+    fast = np.asarray(jax.jit(
+        lambda m, p: sample_bicubic_matmul(m, p, (H, W),
+                                           compute_dtype=jnp.float32))(
+            jnp.asarray(maps), jnp.asarray(pos)))
+    np.testing.assert_allclose(fast, exact, atol=1e-5)
+    bf16 = np.asarray(jax.jit(
+        lambda m, p: sample_bicubic_matmul(m, p, (H, W)))(
+            jnp.asarray(maps), jnp.asarray(pos)))
+    assert np.abs(bf16 - exact).max() < 0.05
+
+
+def test_topk_keypoints_reduced_matches_dense():
+    """2x2-reduced top-k == dense top-k on tie-free score maps."""
+    rng = np.random.default_rng(10)
+    s = -np.ones((2, 64, 96), np.float32)
+    for b in range(2):
+        # positives honor the 5x5-NMS spacing guarantee (>=3 apart Chebyshev):
+        # one candidate per 4x4 cell with +-1 jitter cannot violate... it can;
+        # use a strict grid with spacing 4 instead
+        cells = [(y, x) for y in range(1, 64, 4) for x in range(1, 96, 4)]
+        pick = rng.choice(len(cells), size=200, replace=False)
+        for rank, ci in enumerate(pick):
+            y, x = cells[ci]
+            s[b, y, x] = float(200 - rank)
+    kpts, scores = jax.jit(lambda x: topk_keypoints(x, 128))(jnp.asarray(s))
+    kpts, scores = np.asarray(kpts), np.asarray(scores)
+    flat = s.reshape(2, -1)
+    for b in range(2):
+        order = np.argsort(-flat[b], kind="stable")[:128]
+        ref_xy = np.stack([order % 96, order // 96], -1)
+        valid = flat[b][order] > 0
+        np.testing.assert_array_equal(kpts[b][valid], ref_xy[valid])
+        np.testing.assert_allclose(scores[b][valid], flat[b][order][valid])
