@@ -1,0 +1,173 @@
+"""MegaDepth-1500 relative-pose benchmark harness.
+
+Protocol identical to the reference (modules/eval/megadepth1500.py):
+  * 1500 pairs described by a JSON file (T_0to1, K0, K1, /32-divisible
+    resized sizes <= 1200 px; reference assets/megadepth_1500.json);
+  * matcher produces pixel correspondences; keypoints are rescaled from the
+    resized eval resolution back to the intrinsics' frame
+    (megadepth1500.py:223-233);
+  * pose via essential-matrix LO-RANSAC, max_epipolar_error 2.5 px,
+    success_prob 0.99999 (megadepth1500.py:98-113, 245-246) — ours uses the
+    native posekit library (5-pt Nistér + LO-RANSAC);
+  * metric: AUC@{5,10,20} of max(angular R err, angular t err) + mAcc.
+
+Run: python -m accelerated_features_tpu.eval.megadepth1500 \
+        --data_root <dir with megadepth_test_1500> [--matcher xfeat]
+The pair JSON defaults to the reference asset if present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry import estimate_relative_pose
+from .metrics import pose_errors_to_summary, relative_pose_error
+
+DEFAULT_JSON = "/root/reference/assets/megadepth_1500.json"
+
+MatcherFn = Callable[[np.ndarray, np.ndarray],
+                     Tuple[np.ndarray, np.ndarray]]
+
+
+def load_pairs(json_path: str = DEFAULT_JSON) -> List[dict]:
+    with open(json_path) as f:
+        return json.load(f)
+
+
+def _resize_pair_images(im0, im1, pair, cv2):
+    """Resize to the stored eval sizes (reference megadepth1500.py:43-65
+    stores /32-divisible sizes <= 1200px) and return scale factors."""
+    s0 = pair["size0"] if "size0" in pair else pair.get("imsize0")
+    s1 = pair["size1"] if "size1" in pair else pair.get("imsize1")
+    out = []
+    scales = []
+    for im, s in [(im0, s0), (im1, s1)]:
+        if s is not None:
+            w, h = int(s[0]), int(s[1])
+            scale = (im.shape[1] / w, im.shape[0] / h)
+            im = cv2.resize(im, (w, h))
+        else:
+            scale = (1.0, 1.0)
+        out.append(im)
+        scales.append(scale)
+    return out[0], out[1], scales[0], scales[1]
+
+
+def compute_pose_error(pair: dict, mkpts0: np.ndarray, mkpts1: np.ndarray,
+                       scale0=(1.0, 1.0), scale1=(1.0, 1.0),
+                       ransac_thr: float = 2.5) -> Dict[str, float]:
+    """Rescale matches to intrinsic resolution, estimate pose, angular errors
+    (reference megadepth1500.py:88-131)."""
+    K0 = np.asarray(pair["K0"], np.float64)
+    K1 = np.asarray(pair["K1"], np.float64)
+    T_0to1 = np.asarray(pair["T_0to1"], np.float64)
+
+    mkpts0 = np.asarray(mkpts0, np.float64) * np.asarray(scale0)
+    mkpts1 = np.asarray(mkpts1, np.float64) * np.asarray(scale1)
+
+    err = {"R_err": 180.0, "t_err": 180.0, "n_matches": len(mkpts0),
+           "n_inliers": 0}
+    if len(mkpts0) < 5:
+        return err
+    res = estimate_relative_pose(mkpts0, mkpts1, K0, K1,
+                                 max_epipolar_error=ransac_thr,
+                                 success_prob=0.99999)
+    if res is None:
+        return err
+    R, t, mask = res
+    err.update(relative_pose_error(T_0to1, R, t))
+    err["n_inliers"] = int(mask.sum())
+    return err
+
+
+def run_benchmark(matcher_fn: MatcherFn, data_root: str,
+                  json_path: str = DEFAULT_JSON,
+                  ransac_thr: float = 2.5,
+                  limit: Optional[int] = None,
+                  progress: bool = True) -> Dict[str, float]:
+    """Full image-based benchmark (requires the megadepth_test_1500 images
+    under `data_root`, reference download.py)."""
+    import cv2
+    pairs = load_pairs(json_path)
+    if limit:
+        pairs = pairs[:limit]
+    errors = []
+    it: Iterable = pairs
+    if progress:
+        try:
+            import tqdm
+            it = tqdm.tqdm(pairs, desc="[MegaDepth-1500]")
+        except ImportError:
+            pass
+    for pair in it:
+        im0 = cv2.imread(os.path.join(data_root, pair["pair_names"][0]))
+        im1 = cv2.imread(os.path.join(data_root, pair["pair_names"][1]))
+        if im0 is None or im1 is None:
+            raise FileNotFoundError(pair["pair_names"])
+        im0, im1, sc0, sc1 = _resize_pair_images(im0, im1, pair, cv2)
+        mk0, mk1 = matcher_fn(im0, im1)
+        errors.append(compute_pose_error(pair, mk0, mk1, sc0, sc1,
+                                         ransac_thr))
+    summary = pose_errors_to_summary(errors)
+    summary["mean_matches"] = float(np.mean([e["n_matches"] for e in errors]))
+    summary["mean_inliers"] = float(np.mean([e["n_inliers"] for e in errors]))
+    return summary
+
+
+def run_benchmark_precomputed(matches: List[Tuple[np.ndarray, np.ndarray]],
+                              pairs: List[dict],
+                              ransac_thr: float = 2.5) -> Dict[str, float]:
+    """Benchmark from precomputed correspondences (for tests / cached runs)."""
+    errors = [compute_pose_error(pair, mk0, mk1, ransac_thr=ransac_thr)
+              for (mk0, mk1), pair in zip(matches, pairs)]
+    return pose_errors_to_summary(errors)
+
+
+def make_matcher(name: str, top_k: int = 4096, weights: Optional[str] = None
+                 ) -> MatcherFn:
+    """Matcher registry mirroring the reference CLI choices
+    (megadepth1500.py:250-274): xfeat | xfeat-star | xfeat-lighterglue."""
+    from ..api import XFeat
+    xf = XFeat(weights=weights, top_k=top_k)
+    if name == "xfeat":
+        return lambda im0, im1: xf.match_xfeat(im0, im1)
+    if name == "xfeat-star":
+        return lambda im0, im1: xf.match_xfeat_star(im0, im1)
+    if name == "xfeat-lighterglue":
+        def fn(im0, im1):
+            d0 = xf.detectAndCompute(im0)[0]
+            d1 = xf.detectAndCompute(im1)[0]
+            d0["image_size"] = (im0.shape[1], im0.shape[0])
+            d1["image_size"] = (im1.shape[1], im1.shape[0])
+            mk0, mk1, _ = xf.match_lighterglue(d0, d1)
+            return mk0, mk1
+        return fn
+    raise ValueError(f"unknown matcher {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description="MegaDepth-1500 pose benchmark")
+    ap.add_argument("--data_root", type=str, required=True,
+                    help="dir containing megadepth_test_1500 images")
+    ap.add_argument("--json", type=str, default=DEFAULT_JSON)
+    ap.add_argument("--matcher", type=str, default="xfeat",
+                    choices=["xfeat", "xfeat-star", "xfeat-lighterglue"])
+    ap.add_argument("--weights", type=str, default=None)
+    ap.add_argument("--top_k", type=int, default=4096)
+    ap.add_argument("--ransac_thr", type=float, default=2.5)
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    fn = make_matcher(args.matcher, args.top_k, args.weights)
+    summary = run_benchmark(fn, args.data_root, args.json, args.ransac_thr,
+                            args.limit)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""ctypes bindings for the native posekit library (native/posekit.cpp) —
+the framework's equivalent of the reference's poselib dependency
+(reference megadepth1500.py:14,98-113; scannet1500.py:52-66).
+
+The shared library is built on first use with g++ (no pip deps); callers can
+also prebuild with `make -C native`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libposekit.so")
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "posekit.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+             "-o", _SO_PATH, src],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _lib():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_SO_PATH) or (
+                os.path.getmtime(_SO_PATH) <
+                os.path.getmtime(os.path.join(_NATIVE_DIR, "posekit.cpp"))):
+            if not _build() and not os.path.exists(_SO_PATH):
+                raise RuntimeError("posekit build failed; run `make -C native`")
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.pk_estimate_relative_pose.restype = ctypes.c_int
+        lib.pk_estimate_homography.restype = ctypes.c_int
+        lib.pk_five_point.restype = ctypes.c_int
+        lib.pk_sampson_sq.restype = ctypes.c_double
+        _LIB = lib
+        return lib
+
+
+def posekit_available() -> bool:
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False
+
+
+def _cptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def estimate_relative_pose(pts0: np.ndarray, pts1: np.ndarray,
+                           K0: np.ndarray, K1: np.ndarray,
+                           max_epipolar_error: float = 2.5,
+                           success_prob: float = 0.99999,
+                           max_iters: int = 10_000,
+                           seed: int = 0
+                           ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]]:
+    """5-pt + LO-RANSAC relative pose from pixel correspondences.
+
+    Mirrors the reference's poselib call (megadepth1500.py:98-113: ransac
+    options {'max_epipolar_error': 2.5}; returns (R, t, inlier_mask) or None.
+    """
+    pts0 = np.ascontiguousarray(pts0, np.float64)
+    pts1 = np.ascontiguousarray(pts1, np.float64)
+    n = len(pts0)
+    if n < 5:
+        return None
+    K0 = np.ascontiguousarray(K0, np.float64)
+    K1 = np.ascontiguousarray(K1, np.float64)
+    R = np.zeros((3, 3), np.float64)
+    t = np.zeros((3,), np.float64)
+    mask = np.zeros((n,), np.uint8)
+    ninl = _lib().pk_estimate_relative_pose(
+        _cptr(pts0), _cptr(pts1), ctypes.c_int(n), _cptr(K0), _cptr(K1),
+        ctypes.c_double(max_epipolar_error), ctypes.c_double(success_prob),
+        ctypes.c_int(max_iters), ctypes.c_uint(seed), _cptr(R), _cptr(t),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if ninl <= 0:
+        return None
+    return R, t, mask.astype(bool)
+
+
+def estimate_homography(pts0: np.ndarray, pts1: np.ndarray,
+                        thresh: float = 4.0, max_iters: int = 700,
+                        seed: int = 0
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """4-pt DLT + LO-RANSAC homography (reference realtime_demo.py:225
+    equivalent: USAC_MAGSAC thr 4.0, maxIters 700). Returns (H, mask)."""
+    pts0 = np.ascontiguousarray(pts0, np.float64)
+    pts1 = np.ascontiguousarray(pts1, np.float64)
+    n = len(pts0)
+    if n < 4:
+        return None
+    H = np.zeros((3, 3), np.float64)
+    mask = np.zeros((n,), np.uint8)
+    ninl = _lib().pk_estimate_homography(
+        _cptr(pts0), _cptr(pts1), ctypes.c_int(n), ctypes.c_double(thresh),
+        ctypes.c_int(max_iters), ctypes.c_uint(seed), _cptr(H),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if ninl <= 0:
+        return None
+    return H, mask.astype(bool)
+
+
+def five_point(x0: np.ndarray, x1: np.ndarray) -> np.ndarray:
+    """Minimal 5-pt solver on normalized coords -> (N<=10, 3, 3) E stack."""
+    x0 = np.ascontiguousarray(x0, np.float64)
+    x1 = np.ascontiguousarray(x1, np.float64)
+    out = np.zeros((10, 3, 3), np.float64)
+    cnt = _lib().pk_five_point(_cptr(x0), _cptr(x1), _cptr(out))
+    return out[:cnt]
+
+
+def sampson_sq(E: np.ndarray, p0: np.ndarray, p1: np.ndarray) -> float:
+    E = np.ascontiguousarray(E, np.float64)
+    p0 = np.ascontiguousarray(p0, np.float64)
+    p1 = np.ascontiguousarray(p1, np.float64)
+    return float(_lib().pk_sampson_sq(_cptr(E), _cptr(p0), _cptr(p1)))

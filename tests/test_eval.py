@@ -1,0 +1,152 @@
+"""Evaluation-layer tests: metric parity vs the reference implementation and
+synthetic end-to-end benchmark runs (no dataset images needed)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from accelerated_features_tpu.eval.metrics import (error_auc, mean_accuracy,
+                                                   relative_pose_error)
+from accelerated_features_tpu.eval.megadepth1500 import (
+    compute_pose_error, run_benchmark_precomputed)
+from accelerated_features_tpu.geometry import posekit_available
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    pytest.importorskip("torch")
+    if "poselib" not in sys.modules:
+        sys.modules["poselib"] = types.ModuleType("poselib")  # import stub
+    import importlib
+    return importlib.import_module("modules.eval.megadepth1500")
+
+
+def test_error_auc_parity(ref_eval):
+    rng = np.random.default_rng(0)
+    errors = rng.uniform(0, 40, 500).tolist() + [np.inf] * 20
+    ref = ref_eval.error_auc([e if np.isfinite(e) else 180 for e in errors],
+                             thresholds=[5, 10, 20])
+    ours = error_auc(errors)
+    for t in (5, 10, 20):
+        np.testing.assert_allclose(ours[f"auc@{t}"], ref[f"auc@{t}"],
+                                   atol=1e-9)
+
+
+def test_relative_pose_error_parity(ref_eval):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+
+    def rand_rot():
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    for _ in range(10):
+        T = np.eye(4)
+        T[:3, :3] = rand_rot()
+        T[:3, 3] = rng.normal(size=3)
+        R_est = rand_rot()
+        t_est = rng.normal(size=3)
+        t_ref, r_ref = ref_eval.relative_pose_error(
+            torch.from_numpy(T), torch.from_numpy(R_est),
+            torch.from_numpy(t_est))
+        ours = relative_pose_error(T, R_est, t_est)
+        np.testing.assert_allclose(ours["R_err"], float(r_ref), atol=1e-6)
+        np.testing.assert_allclose(ours["t_err"], float(t_ref), atol=1e-6)
+
+
+@pytest.mark.skipif(not posekit_available(), reason="posekit unavailable")
+def test_megadepth_benchmark_synthetic():
+    """Perfect synthetic correspondences -> near-perfect AUC; garbage
+    correspondences -> near-zero AUC."""
+    rng = np.random.default_rng(2)
+    K = np.array([[800.0, 0, 400], [0, 800.0, 300], [0, 0, 1]])
+
+    pairs, matches, garbage = [], [], []
+    for i in range(12):
+        ang = rng.uniform(-0.3, 0.3, 3)
+
+        def rot(ax, a):
+            c, s = np.cos(a), np.sin(a)
+            m = np.eye(3)
+            i0, i1 = [(1, 2), (0, 2), (0, 1)][ax]
+            m[i0, i0] = c
+            m[i0, i1] = -s if ax != 1 else s
+            m[i1, i0] = s if ax != 1 else -s
+            m[i1, i1] = c
+            return m
+
+        R = rot(0, ang[0]) @ rot(1, ang[1]) @ rot(2, ang[2])
+        t = rng.normal(size=3)
+        t /= np.linalg.norm(t)
+        X = rng.uniform([-2, -2, 4], [2, 2, 10], (150, 3))
+        x0 = X / X[:, 2:]
+        x1 = (R @ X.T).T + t
+        x1 = x1 / x1[:, 2:]
+        p0 = (K @ x0.T).T[:, :2] + rng.normal(0, 0.3, (150, 2))
+        p1 = (K @ x1.T).T[:, :2] + rng.normal(0, 0.3, (150, 2))
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        pairs.append({"K0": K, "K1": K, "T_0to1": T})
+        matches.append((p0, p1))
+        garbage.append((rng.uniform(0, 800, (150, 2)),
+                        rng.uniform(0, 800, (150, 2))))
+
+    good = run_benchmark_precomputed(matches, pairs)
+    bad = run_benchmark_precomputed(garbage, pairs)
+    assert good["auc@5"] > 0.8, good
+    assert bad["auc@5"] < 0.2, bad
+    assert good["acc@5"] == 1.0
+
+
+@pytest.mark.skipif(not posekit_available(), reason="posekit unavailable")
+def test_scannet_plumbing(tmp_path):
+    """Pair-list parsing, pose IO, and the threshold sweep."""
+    from accelerated_features_tpu.eval.scannet1500 import (
+        best_result, load_pair_list, read_pose, rel_pose_0to1,
+        run_threshold_sweep)
+
+    npz = tmp_path / "test.npz"
+    np.savez(npz, name=np.array([[707, 0, 15, 45], [708, 0, 0, 30]]))
+    pairs = load_pair_list(str(npz))
+    assert pairs[0]["scene"] == "scene0707_00"
+    assert pairs[0]["im0"].endswith("color/15.jpg")
+
+    pose = np.eye(4)
+    pose[:3, 3] = [1, 2, 3]
+    np.savetxt(tmp_path / "p.txt", pose)
+    assert np.allclose(read_pose(str(tmp_path / "p.txt")), pose)
+    T = rel_pose_0to1(pose, np.eye(4))
+    assert np.allclose(T[:3, 3], [1, 2, 3])
+
+    # tiny sweep with synthetic geometry
+    rng = np.random.default_rng(3)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    R = np.eye(3)
+    t = np.array([1.0, 0, 0])
+    X = rng.uniform([-2, -2, 4], [2, 2, 8], (100, 3))
+    x0 = X / X[:, 2:]
+    x1 = (R @ X.T).T + t
+    x1 = x1 / x1[:, 2:]
+    p0 = (K @ x0.T).T[:, :2]
+    p1 = (K @ x1.T).T[:, :2]
+    T = np.eye(4)
+    T[:3, 3] = t
+    sweep = run_threshold_sweep([(p0, p1)], [{"K": K, "T_0to1": T}],
+                                thresholds=[1.0, 2.0])
+    best = best_result(sweep)
+    assert best["auc@5"] > 0.9
+    assert best["best_threshold"] in (1.0, 2.0)

@@ -1,0 +1,150 @@
+"""Native posekit library tests: 5-pt solver on synthetic ground truth,
+LO-RANSAC relative pose vs OpenCV's (oracle), homography estimation."""
+
+import numpy as np
+import pytest
+
+from accelerated_features_tpu.geometry import (estimate_homography,
+                                               estimate_relative_pose,
+                                               five_point, posekit_available,
+                                               sampson_sq)
+
+pytestmark = pytest.mark.skipif(not posekit_available(),
+                                reason="posekit build unavailable")
+
+
+def _rot(ax, ang):
+    c, s = np.cos(ang), np.sin(ang)
+    if ax == 0:
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    if ax == 1:
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def _synth_scene(n=300, outlier_frac=0.3, noise_px=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    R = _rot(0, 0.12) @ _rot(1, -0.25) @ _rot(2, 0.06)
+    t = np.array([0.4, -0.15, 0.1])
+    t /= np.linalg.norm(t)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+
+    X = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3))
+    x0c = X / X[:, 2:]
+    x1c = (R @ X.T).T + t
+    x1c = x1c / x1c[:, 2:]
+    p0 = (K @ x0c.T).T[:, :2] + rng.normal(0, noise_px, (n, 2))
+    p1 = (K @ x1c.T).T[:, :2] + rng.normal(0, noise_px, (n, 2))
+
+    n_out = int(n * outlier_frac)
+    idx = rng.choice(n, n_out, replace=False)
+    p1[idx] = rng.uniform([0, 0], [640, 480], (n_out, 2))
+    gt_inlier = np.ones(n, bool)
+    gt_inlier[idx] = False
+    return p0, p1, K, R, t, gt_inlier
+
+
+def _angular_errors(R_est, t_est, R_gt, t_gt):
+    cos_r = (np.trace(R_est.T @ R_gt) - 1) / 2
+    err_r = np.degrees(np.arccos(np.clip(cos_r, -1, 1)))
+    cos_t = abs(np.dot(t_est, t_gt)) / (np.linalg.norm(t_est) *
+                                        np.linalg.norm(t_gt))
+    err_t = np.degrees(np.arccos(np.clip(cos_t, -1, 1)))
+    return err_r, err_t
+
+
+def test_five_point_exact():
+    rng = np.random.default_rng(0)
+    R = _rot(0, 0.1) @ _rot(1, -0.2) @ _rot(2, 0.05)
+    t = np.array([0.3, -0.1, 0.05])
+    t /= np.linalg.norm(t)
+    X = rng.uniform([-1, -1, 4], [1, 1, 8], (5, 3))
+    x0 = X[:, :2] / X[:, 2:]
+    Xc = (R @ X.T).T + t
+    x1 = Xc[:, :2] / Xc[:, 2:]
+    Es = five_point(x0, x1)
+    assert len(Es) >= 1
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E_gt = tx @ R
+    E_gt /= np.linalg.norm(E_gt)
+    dists = [min(np.abs(E / np.linalg.norm(E) - E_gt).max(),
+                 np.abs(E / np.linalg.norm(E) + E_gt).max()) for E in Es]
+    assert min(dists) < 1e-6
+    # every solution satisfies the defining constraints
+    for E in Es:
+        for i in range(5):
+            resid = abs(np.append(x1[i], 1) @ E @ np.append(x0[i], 1))
+            assert resid < 1e-8
+        assert abs(np.linalg.det(E)) < 1e-8
+
+
+def test_relative_pose_accuracy():
+    p0, p1, K, R_gt, t_gt, gt_inl = _synth_scene()
+    res = estimate_relative_pose(p0, p1, K, K, max_epipolar_error=1.5)
+    assert res is not None
+    R, t, mask = res
+    err_r, err_t = _angular_errors(R, t_gt=t_gt, R_gt=R_gt, t_est=t)
+    assert err_r < 1.0, err_r
+    assert err_t < 2.0, err_t
+    # inlier set should mostly agree with ground truth
+    agree = (mask & gt_inl).sum() / gt_inl.sum()
+    assert agree > 0.9
+
+
+def test_relative_pose_vs_opencv():
+    cv2 = pytest.importorskip("cv2")
+    p0, p1, K, R_gt, t_gt, _ = _synth_scene(seed=3, outlier_frac=0.4)
+    res = estimate_relative_pose(p0, p1, K, K, max_epipolar_error=1.5)
+    assert res is not None
+    R, t, _ = res
+    E_cv, m = cv2.findEssentialMat(p0, p1, K, method=cv2.RANSAC,
+                                   prob=0.9999, threshold=1.5)
+    _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, p0, p1, K, mask=m)
+    ours = _angular_errors(R, t, R_gt, t_gt)
+    cv = _angular_errors(R_cv, t_cv[:, 0], R_gt, t_gt)
+    # at least as accurate as OpenCV's RANSAC (generous 2x slack: both tiny)
+    assert ours[0] < max(2 * cv[0], 1.0)
+    assert ours[1] < max(2 * cv[1], 2.0)
+
+
+def test_homography():
+    rng = np.random.default_rng(1)
+    H_gt = np.array([[1.1, 0.05, 20.0], [-0.03, 0.95, -10.0],
+                     [1e-4, -5e-5, 1.0]])
+    n = 200
+    p0 = rng.uniform([0, 0], [640, 480], (n, 2))
+    ph = np.concatenate([p0, np.ones((n, 1))], 1) @ H_gt.T
+    p1 = ph[:, :2] / ph[:, 2:] + rng.normal(0, 0.5, (n, 2))
+    out_idx = rng.choice(n, 60, replace=False)
+    p1[out_idx] = rng.uniform([0, 0], [640, 480], (60, 2))
+
+    res = estimate_homography(p0, p1, thresh=3.0)
+    assert res is not None
+    H, mask = res
+    H = H / H[2, 2]
+    np.testing.assert_allclose(H, H_gt / H_gt[2, 2], atol=0.05, rtol=0.05)
+    assert mask.sum() >= 120
+
+
+def test_sampson():
+    E = np.array([[0, -1, 0.2], [1, 0, -0.3], [-0.2, 0.3, 0]])
+    p0 = np.array([0.1, 0.2])
+    # construct p1 exactly on the epipolar line => zero error
+    l = E @ np.append(p0, 1)
+    # point on line a x + b y + c = 0
+    x = 0.4
+    y = -(l[0] * x + l[2]) / l[1]
+    assert sampson_sq(E, p0, np.array([x, y])) < 1e-12
+    assert sampson_sq(E, p0, np.array([x, y + 0.1])) > 1e-6
+
+
+def test_degenerate_inputs():
+    assert estimate_relative_pose(np.zeros((3, 2)), np.zeros((3, 2)),
+                                  np.eye(3), np.eye(3)) is None
+    assert estimate_homography(np.zeros((2, 2)), np.zeros((2, 2))) is None
+    # all-outlier garbage: should not crash; may return None or few inliers
+    rng = np.random.default_rng(5)
+    p0 = rng.uniform(0, 640, (50, 2))
+    p1 = rng.uniform(0, 640, (50, 2))
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    estimate_relative_pose(p0, p1, K, K, max_iters=200)
