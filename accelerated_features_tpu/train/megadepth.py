@@ -1,0 +1,184 @@
+"""MegaDepth training dataset — host-side input pipeline.
+
+Equivalent of the reference MegaDepthDataset (modules/dataset/megadepth/
+megadepth.py + utils.py): per-scene npz index with pairwise overlap
+filtering, grayscale images resized to a /32-divisible training resolution,
+HDF5 depth maps padded to a fixed size, intrinsics/pose assembly with
+relative transforms. Differences: returns NHWC numpy batches ready for
+`spvs_coarse` on device, and the loader is a simple shuffled iterator (no
+torch DataLoader dependency).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+def fix_path_from_d2net(path: str) -> str:
+    """Path fixups carried over from the d2-net index format (reference
+    megadepth/utils.py:100-108)."""
+    if path is None:
+        return None
+    path = path.replace("Undistorted_SfM/", "")
+    path = path.replace(".jpg", ".JPG") if not os.path.exists(path) else path
+    return path
+
+
+def load_scene_index(npz_path: str, min_overlap: float = 0.3,
+                     max_overlap: float = 1.0) -> List[Tuple[int, int]]:
+    """Read a LoFTR-format scene_info npz and return valid pair indices
+    filtered by overlap (reference megadepth.py:58-61)."""
+    info = np.load(npz_path, allow_pickle=True)
+    pair_infos = info["pair_infos"]
+    pairs = []
+    for pi in pair_infos:
+        (i0, i1), overlap = pi[0], pi[1]
+        if min_overlap < overlap < max_overlap:
+            pairs.append((int(i0), int(i1)))
+    return pairs
+
+
+class MegaDepthDataset:
+    """One scene; yields pair dicts (reference megadepth.py:21-174)."""
+
+    def __init__(self, root_dir: str, npz_path: str,
+                 image_size: Tuple[int, int] = (800, 608),
+                 depth_pad: int = 2000,
+                 min_overlap: float = 0.3, max_overlap: float = 1.0):
+        self.root = root_dir
+        self.image_size = image_size  # (W, H)
+        self.depth_pad = depth_pad
+        info = np.load(npz_path, allow_pickle=True)
+        self.image_paths = info["image_paths"]
+        self.depth_paths = info["depth_paths"]
+        self.intrinsics = info["intrinsics"]
+        self.poses = info["poses"]
+        self.pairs = load_scene_index(npz_path, min_overlap, max_overlap)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _load_view(self, idx: int):
+        import cv2
+        path = os.path.join(self.root, str(self.image_paths[idx]))
+        img = cv2.imread(fix_path_from_d2net(path), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        W, H = self.image_size
+        scale = np.array([img.shape[1] / W, img.shape[0] / H], np.float32)
+        img = cv2.resize(img, (W, H)).astype(np.float32) / 255.0
+
+        depth = np.zeros((self.depth_pad, self.depth_pad), np.float32)
+        dpath = os.path.join(self.root, str(self.depth_paths[idx]))
+        if os.path.exists(dpath):
+            import h5py
+            with h5py.File(dpath, "r") as f:
+                d = np.asarray(f["depth"], np.float32)
+            depth[:d.shape[0], :d.shape[1]] = d
+
+        K = np.asarray(self.intrinsics[idx], np.float32).reshape(3, 3)
+        pose_w2c = np.asarray(self.poses[idx], np.float32).reshape(4, 4)
+        return img[..., None], depth, K, pose_w2c, scale
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        i0, i1 = self.pairs[i]
+        im0, d0, K0, P0, s0 = self._load_view(i0)
+        im1, d1, K1, P1, s1 = self._load_view(i1)
+        T_0to1 = P1 @ np.linalg.inv(P0)
+        return {
+            "image0": im0, "image1": im1,
+            "depth0": d0, "depth1": d1,
+            "K0": K0, "K1": K1,
+            "T_0to1": T_0to1.astype(np.float32),
+            "T_1to0": np.linalg.inv(T_0to1).astype(np.float32),
+            "scale0": s0, "scale1": s1,
+        }
+
+
+class MegaDepthLoader:
+    """Shuffled multi-scene batch iterator (replaces ConcatDataset +
+    DataLoader, reference train.py:118-125)."""
+
+    def __init__(self, megadepth_root: str, batch_size: int,
+                 image_size=(800, 608), seed: int = 0,
+                 npz_glob: str = "train_data/megadepth_indices/"
+                                 "scene_info_0.1_0.7/*.npz"):
+        src = os.path.join(megadepth_root, "MegaDepth_v1")
+        paths = sorted(glob.glob(os.path.join(megadepth_root, npz_glob)))
+        if not paths:
+            raise FileNotFoundError(
+                f"no scene indices under {megadepth_root}/{npz_glob}")
+        self.datasets = [MegaDepthDataset(src, p, image_size) for p in paths]
+        self.index = [(d_i, p_i) for d_i, d in enumerate(self.datasets)
+                      for p_i in range(len(d))]
+        self.batch_size = batch_size
+        self.rng = random.Random(seed)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = list(self.index)
+        self.rng.shuffle(order)
+        batch = []
+        for d_i, p_i in order:
+            try:
+                batch.append(self.datasets[d_i][p_i])
+            except (FileNotFoundError, OSError):
+                continue
+            if len(batch) == self.batch_size:
+                yield collate(batch)
+                batch = []
+
+    def infinite(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield from iter(self)
+
+
+def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class ImageFolderSource:
+    """Random-image pool for the synthetic augmentation pipeline (replaces
+    the COCO loader, reference augmentation.py:151-175): loads up to
+    `max_num_imgs` images resized to `resolution`, reshuffles the pool every
+    `reload_step` draws."""
+
+    def __init__(self, img_dir: str, resolution: Tuple[int, int] = (800, 608),
+                 max_num_imgs: int = 3000, reload_step: int = 4000,
+                 seed: int = 0):
+        self.dir = img_dir
+        self.resolution = resolution
+        self.max_num = max_num_imgs
+        self.reload_step = reload_step
+        self.rng = random.Random(seed)
+        self.all_paths = sorted(
+            glob.glob(os.path.join(img_dir, "*.jpg")) +
+            glob.glob(os.path.join(img_dir, "*.png")))
+        if len(self.all_paths) < 10:
+            raise RuntimeError(f"not enough images in {img_dir}")
+        self._count = 0
+        self._load()
+
+    def _load(self):
+        import cv2
+        self.rng.shuffle(self.all_paths)
+        self.pool = []
+        W, H = self.resolution
+        for p in self.all_paths[:self.max_num]:
+            im = cv2.imread(p)
+            if im is None:
+                continue
+            if im.shape[0] > im.shape[1]:
+                im = np.rot90(im)  # landscape (reference augmentation.py:160)
+            self.pool.append(cv2.resize(im, (W, H)).astype(np.float32) / 255.0)
+
+    def sample_batch(self, n: int) -> np.ndarray:
+        self._count += 1
+        if self._count % self.reload_step == 0:
+            self._load()
+        idx = [self.rng.randrange(len(self.pool)) for _ in range(n)]
+        return np.stack([self.pool[i] for i in idx])

@@ -1,0 +1,236 @@
+"""Training entry point — the reference's `python -m modules.training.train`
+equivalent (reference train.py), TPU-native.
+
+Data recipe matches the reference default (train.py:86-125): batch split 40%
+synthetic homography/TPS warps + 60% MegaDepth depth-supervised pairs; Adam
+3e-4 with staircase decay; losses per train/losses.py. Improvements over the
+reference: checkpoints carry full state and RESUME (utils/checkpoint.py),
+the whole step is one jit over a device mesh (dp x tp), and GT generation is
+on-device fixed-shape (train/warp.py, train/augmentation.py).
+
+Runs without datasets in --dry_run mode (synthetic random batch, sanity
+check — reference train.py:35-36 analogue).
+
+Usage:
+  python -m accelerated_features_tpu.train.run --ckpt_save_path /tmp/ckpts \
+      [--megadepth_root_path ...] [--synthetic_root_path ...] [--dry_run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.params import init_xfeat_params
+from ..parallel.mesh import make_mesh
+from ..utils.checkpoint import resume_or_init, save_checkpoint
+from .augmentation import AugConfig, make_pair, pair_correspondences
+from .megadepth import ImageFolderSource, MegaDepthLoader
+from .trainer import (TrainConfig, init_train_state, make_sharded_train_step,
+                      train_step)
+from .warp import corr_to_fixed, spvs_coarse
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="XFeat TPU training")
+    ap.add_argument("--megadepth_root_path", type=str, default=None)
+    ap.add_argument("--synthetic_root_path", type=str, default=None)
+    ap.add_argument("--ckpt_save_path", type=str, required=True)
+    ap.add_argument("--training_type", type=str, default="xfeat_default",
+                    choices=["xfeat_default", "xfeat_synthetic",
+                             "xfeat_megadepth"])
+    ap.add_argument("--batch_size", type=int, default=10)
+    ap.add_argument("--n_steps", type=int, default=160_000)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--gamma_steplr", type=float, default=0.5)
+    ap.add_argument("--training_res", type=lambda s: tuple(
+        map(int, s.split(","))), default=(800, 608))
+    ap.add_argument("--dry_run", action="store_true")
+    ap.add_argument("--save_ckpt_every", type=int, default=500)
+    ap.add_argument("--max_corrs", type=int, default=1024,
+                    help="fixed correspondence budget per pair")
+    ap.add_argument("--mesh", type=lambda s: tuple(map(int, s.split("x"))),
+                    default=None, help="data x model mesh, e.g. 4x2")
+    ap.add_argument("--no_distill", action="store_true",
+                    help="disable the teacher distillation loss (the ALIKE "
+                         "teacher labels must be provided by the pipeline)")
+    return ap.parse_args()
+
+
+class SyntheticBatcher:
+    """Synthetic warped-pair stream (reference make_batch,
+    training/utils.py:7-24): images -> two augmented views + /8 GT."""
+
+    def __init__(self, source: Optional[ImageFolderSource], cfg: AugConfig,
+                 batch_size: int, max_corrs: int, difficulty: float = 0.10):
+        self.source = source
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_corrs = max_corrs
+        self.difficulty = difficulty
+        self._key = jax.random.key(0)
+
+        def gen(key, images):
+            pair = make_pair(key, images, cfg, difficulty, tps_prob=0.7)
+            corrs, mask = pair_correspondences(pair, cfg)
+            corrs, mask = corr_to_fixed(corrs, mask, max_corrs)
+            g1 = jnp.mean(pair["view1"], -1, keepdims=True)
+            g2 = jnp.mean(pair["view2"], -1, keepdims=True)
+            return {"image0": g1, "image1": g2, "corrs": corrs,
+                    "corr_valid": mask}
+
+        self._gen = jax.jit(gen)
+
+    def next(self) -> Dict[str, jax.Array]:
+        self._key, sub = jax.random.split(self._key)
+        images = jnp.asarray(self.source.sample_batch(self.batch_size))
+        return self._gen(sub, images)
+
+
+class MegaDepthBatcher:
+    """Depth-supervised stream: host loader + on-device spvs_coarse."""
+
+    def __init__(self, loader: MegaDepthLoader, max_corrs: int):
+        self.it = loader.infinite()
+        self.max_corrs = max_corrs
+
+        def gen(d):
+            corrs, mask = spvs_coarse(d, 8)
+            corrs, mask = corr_to_fixed(
+                jnp.concatenate([corrs[..., :2], corrs[..., 2:]], -1),
+                mask, max_corrs)
+            g0 = jnp.mean(d["image0"], -1, keepdims=True)
+            g1 = jnp.mean(d["image1"], -1, keepdims=True)
+            return {"image0": g0, "image1": g1, "corrs": corrs,
+                    "corr_valid": mask}
+
+        self._gen = jax.jit(gen)
+
+    def next(self) -> Dict[str, jax.Array]:
+        d = next(self.it)
+        return self._gen({k: jnp.asarray(v) for k, v in d.items()})
+
+
+def dry_run_batch(batch_size: int, res, max_corrs: int):
+    rng = np.random.default_rng(0)
+    W, H = res
+    return {
+        "image0": jnp.asarray(rng.uniform(0, 1, (batch_size, H, W, 1)),
+                              jnp.float32),
+        "image1": jnp.asarray(rng.uniform(0, 1, (batch_size, H, W, 1)),
+                              jnp.float32),
+        "corrs": jnp.asarray(
+            rng.integers(2, min(H, W) // 8 - 2,
+                         (batch_size, max_corrs, 4)), jnp.float32),
+        "corr_valid": jnp.ones((batch_size, max_corrs), bool),
+    }
+
+
+def main():
+    args = parse_args()
+    # Distillation is off in this entry point: the labels need an external
+    # teacher keypoint source (the reference shells out to ALIKE in-loop,
+    # third_party/alike_wrapper.py). Wire `distill_labels0/1` into the batch
+    # (train/losses.py distill_labels_from_kpts) and set use_distill=True to
+    # enable with pre-extracted teacher keypoints.
+    cfg = TrainConfig(lr=args.lr, lr_gamma=args.gamma_steplr,
+                      use_distill=False)
+
+    params = init_xfeat_params(jax.random.key(0))
+    state = init_train_state(params, cfg)
+    state, resumed = resume_or_init(args.ckpt_save_path, state)
+    start_step = int(state["step"])
+    if resumed:
+        print(f"[resume] from step {start_step}")
+
+    n_dev = len(jax.devices())
+    mesh_shape = args.mesh or (n_dev, 1)
+    mesh = make_mesh(mesh_shape)
+
+    # data sources
+    use_synth = args.training_type in ("xfeat_default", "xfeat_synthetic")
+    use_md = args.training_type in ("xfeat_default", "xfeat_megadepth")
+    bs_synth = int(args.batch_size * 0.4) if args.training_type == \
+        "xfeat_default" else args.batch_size
+    bs_md = int(args.batch_size * 0.6) if args.training_type == \
+        "xfeat_default" else args.batch_size
+
+    synth = md = None
+    if not args.dry_run:
+        if use_synth and args.synthetic_root_path:
+            aug_cfg = AugConfig(warp_resolution=args.training_res,
+                                out_resolution=args.training_res)
+            synth = SyntheticBatcher(
+                ImageFolderSource(args.synthetic_root_path,
+                                  args.training_res),
+                aug_cfg, bs_synth, args.max_corrs)
+        if use_md and args.megadepth_root_path:
+            md = MegaDepthBatcher(
+                MegaDepthLoader(args.megadepth_root_path, bs_md,
+                                (args.training_res[0], args.training_res[1])),
+                args.max_corrs)
+    if args.dry_run or (synth is None and md is None):
+        total_bs = args.batch_size
+        fixed = dry_run_batch(total_bs, args.training_res, args.max_corrs)
+        get_batch = lambda: fixed
+        n_steps = min(args.n_steps, 10) if args.dry_run else args.n_steps
+    else:
+        def get_batch():
+            parts = []
+            if synth is not None:
+                parts.append(synth.next())
+            if md is not None:
+                parts.append(md.next())
+            return {k: jnp.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+        n_steps = args.n_steps
+
+    example = get_batch()
+    with mesh:
+        step_fn, state_sh, shard_batch = make_sharded_train_step(
+            mesh, state, example, cfg)
+        writer = _make_writer(args.ckpt_save_path)
+        t0 = time.time()
+        for i in range(start_step, n_steps):
+            batch = get_batch()
+            # skip corrupted batches (<30 correspondences anywhere,
+            # reference train.py:207-214)
+            n_ok = np.asarray(jnp.sum(batch["corr_valid"], -1))
+            if (n_ok < 30).any() and not args.dry_run:
+                continue
+            state_sh, metrics = step_fn(state_sh, shard_batch(batch),
+                                        jax.random.key(i))
+            if (i + 1) % args.save_ckpt_every == 0:
+                path = save_checkpoint(args.ckpt_save_path,
+                                       jax.device_get(state_sh), i + 1)
+                print(f"[ckpt] step {i + 1} -> {path}")
+            if (i + 1) % 10 == 0 or args.dry_run:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = (i + 1 - start_step) / (time.time() - t0)
+                print(f"step {i + 1} loss {m['loss_total']:.4f} "
+                      f"coarse {m['loss_coarse']:.3f} fine {m['loss_fine']:.3f} "
+                      f"rel {m['loss_reliability']:.3f} "
+                      f"({rate:.2f} it/s)")
+                if writer:
+                    for k, v in m.items():
+                        writer.add_scalar(k, v, i + 1)
+    print("done")
+
+
+def _make_writer(ckpt_dir: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(os.path.join(ckpt_dir, "logdir"))
+    except Exception:
+        return None
+
+
+if __name__ == "__main__":
+    main()
