@@ -1,0 +1,222 @@
+"""Bundle adjustment — TPU-native matrix-free Schur-complement solver.
+
+New capability beyond the reference (north star in BASELINE.json; the
+reference's only pose math is the eval-time RANSAC, megadepth1500.py:98-113).
+
+Design (TPU-first, not a port of any CPU BA):
+  * fixed-shape observation table (obs_cam, obs_pt, obs_uv, mask) — ragged
+    tracks become masked rows;
+  * residuals + analytic-quality Jacobians via vectorized jacfwd;
+  * Levenberg-Marquardt normal equations, point blocks eliminated by the
+    Schur complement;
+  * the reduced camera system S dc = rhs is solved MATRIX-FREE with
+    conjugate gradients: S x is evaluated with per-observation products and
+    `segment_sum`s — no S materialization, perfectly parallel, and the same
+    code shards over a device mesh by splitting observations (partial
+    segment-sums + psum over the camera-space vectors; see parallel/ba.py).
+
+All arrays f32; damping keeps the normal equations well-conditioned.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .lie import rotate
+
+
+class BAProblem(NamedTuple):
+    cams: jax.Array       # (C, 6) [angle-axis, t], world->cam
+    points: jax.Array     # (P, 3)
+    K: jax.Array          # (3, 3) shared intrinsics
+    obs_cam: jax.Array    # (N,) int32
+    obs_pt: jax.Array     # (N,) int32
+    obs_uv: jax.Array     # (N, 2) pixel observations
+    obs_mask: jax.Array   # (N,) bool
+    fixed_cams: Optional[jax.Array] = None  # (C,) bool — gauge freeze
+
+
+def project(cam6: jax.Array, X: jax.Array, K: jax.Array) -> jax.Array:
+    """World point -> pixel (pinhole, no distortion)."""
+    Xc = rotate(cam6[:3], X) + cam6[3:]
+    z = jnp.maximum(Xc[2], 1e-6)
+    u = K[0, 0] * Xc[0] / z + K[0, 2]
+    v = K[1, 1] * Xc[1] / z + K[1, 2]
+    return jnp.stack([u, v])
+
+
+def _residual_one(cam6, X, uv, K):
+    return project(cam6, X, K) - uv
+
+
+def residuals_and_jacobians(p: BAProblem):
+    """Per-observation residual (N,2), J_cam (N,2,6), J_pt (N,2,3)."""
+    cams_g = p.cams[p.obs_cam]
+    pts_g = p.points[p.obs_pt]
+
+    def rj(cam6, X, uv):
+        r = _residual_one(cam6, X, uv, p.K)
+        Jc = jax.jacfwd(lambda c: _residual_one(c, X, uv, p.K))(cam6)
+        Jp = jax.jacfwd(lambda x: _residual_one(cam6, x, uv, p.K))(X)
+        return r, Jc, Jp
+
+    r, Jc, Jp = jax.vmap(rj)(cams_g, pts_g, p.obs_uv)
+    m = p.obs_mask[:, None]
+    r = jnp.where(m, r, 0.0)
+    Jc = jnp.where(m[..., None], Jc, 0.0)
+    Jp = jnp.where(m[..., None], Jp, 0.0)
+    if p.fixed_cams is not None:
+        Jc = jnp.where(p.fixed_cams[p.obs_cam][:, None, None], 0.0, Jc)
+    return r, Jc, Jp
+
+
+def _inv3(M: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse."""
+    a = M[..., 0, 0]; b = M[..., 0, 1]; c = M[..., 0, 2]
+    d = M[..., 1, 0]; e = M[..., 1, 1]; f = M[..., 1, 2]
+    g = M[..., 2, 0]; h = M[..., 2, 1]; i = M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), (b * f - c * e)], -1),
+        jnp.stack([B, (a * i - c * g), -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), (a * e - b * d)], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def build_normal_blocks(p: BAProblem, lam: float, reduce_fn=lambda x: x):
+    """Per-camera U (C,6,6), per-point V^{-1} (P,3,3), gradients, and the
+    per-observation coupling blocks W_i = J_c^T J_p (N,6,3).
+
+    `reduce_fn` sums partial segment-sums across devices (psum) when the
+    observation table is sharded (parallel/ba.py); identity single-device."""
+    r, Jc, Jp = residuals_and_jacobians(p)
+    C = p.cams.shape[0]
+    P = p.points.shape[0]
+
+    U = reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jc, Jc),
+                                      p.obs_cam, num_segments=C))
+    V = reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jp, Jp),
+                                      p.obs_pt, num_segments=P))
+    b_c = -reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jc, r),
+                                         p.obs_cam, num_segments=C))
+    b_p = -reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jp, r),
+                                         p.obs_pt, num_segments=P))
+
+    U = U + lam * jnp.eye(6)
+    V = V + lam * jnp.eye(3)
+    Vinv = _inv3(V)
+    W = jnp.einsum("nri,nrj->nij", Jc, Jp)  # (N, 6, 3)
+    cost = reduce_fn(0.5 * jnp.sum(r ** 2))
+    return U, Vinv, W, b_c, b_p, cost
+
+
+def schur_matvec(x: jax.Array, U, Vinv, W, obs_cam, obs_pt, C, P,
+                 reduce_fn=lambda x: x):
+    """S x = U x - W V^{-1} W^T x, evaluated observation-wise.
+
+    x: (C, 6) camera-space vector -> (C, 6)."""
+    Ux = jnp.einsum("cij,cj->ci", U, x)
+    wtx = jnp.einsum("nji,nj->ni", W, x[obs_cam])          # (N,3): W^T x
+    z = reduce_fn(jax.ops.segment_sum(wtx, obs_pt, num_segments=P))
+    z = jnp.einsum("pij,pj->pi", Vinv, z)
+    wz = jnp.einsum("nij,nj->ni", W, z[obs_pt])            # (N,6)
+    back = reduce_fn(jax.ops.segment_sum(wz, obs_cam, num_segments=C))
+    return Ux - back
+
+
+def cg_solve(matvec, b: jax.Array, iters: int = 50, tol: float = 1e-8):
+    """Plain conjugate gradients on a PSD operator (fixed iteration count —
+    static control flow for jit)."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    p0 = r0
+    rs0 = jnp.vdot(r0, r0)
+
+    def body(_, state):
+        x, r, pv, rs = state
+        Ap = matvec(pv)
+        denom = jnp.vdot(pv, Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rs / denom, 0.0)
+        x = x + alpha * pv
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r)
+        beta = jnp.where(rs > 1e-20, rs_new / rs, 0.0)
+        pv = r + beta * pv
+        return x, r, pv, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, p0, rs0))
+    return x
+
+
+def ba_step(p: BAProblem, lam: float, cg_iters: int = 50,
+            reduce_fn=lambda x: x) -> Tuple[BAProblem, jax.Array]:
+    """One LM step: Schur-eliminate points, CG on the camera system,
+    back-substitute points."""
+    C = p.cams.shape[0]
+    P = p.points.shape[0]
+    U, Vinv, W, b_c, b_p, cost = build_normal_blocks(p, lam, reduce_fn)
+
+    # rhs = b_c - W V^{-1} b_p
+    vb = jnp.einsum("pij,pj->pi", Vinv, b_p)
+    wvb = jnp.einsum("nij,nj->ni", W, vb[p.obs_pt])
+    rhs = b_c - reduce_fn(
+        jax.ops.segment_sum(wvb, p.obs_cam, num_segments=C))
+
+    mv = functools.partial(schur_matvec, U=U, Vinv=Vinv, W=W,
+                           obs_cam=p.obs_cam, obs_pt=p.obs_pt, C=C, P=P,
+                           reduce_fn=reduce_fn)
+    dc = cg_solve(mv, rhs, cg_iters)
+
+    # dp = V^{-1} (b_p - W^T dc)
+    wtdc = reduce_fn(jax.ops.segment_sum(
+        jnp.einsum("nji,nj->ni", W, dc[p.obs_cam]),
+        p.obs_pt, num_segments=P))
+    dp = jnp.einsum("pij,pj->pi", Vinv, b_p - wtdc)
+
+    if p.fixed_cams is not None:
+        dc = jnp.where(p.fixed_cams[:, None], 0.0, dc)
+    new = p._replace(cams=p.cams + dc, points=p.points + dp)
+    return new, cost
+
+
+def ba_cost(p: BAProblem, reduce_fn=lambda x: x) -> jax.Array:
+    r, _, _ = residuals_and_jacobians(p)
+    return reduce_fn(0.5 * jnp.sum(r ** 2))
+
+
+def bundle_adjust(p: BAProblem, iters: int = 20, lam0: float = 1e-3,
+                  cg_iters: int = 50, reduce_fn=lambda x: x
+                  ) -> Tuple[BAProblem, Dict[str, jax.Array]]:
+    """LM loop with multiplicative damping adaptation (accept/reject),
+    jit-compatible (lax control flow)."""
+    def body(_, state):
+        p, lam, cost_prev = state
+        p_new, _ = ba_step(p, lam, cg_iters, reduce_fn)
+        cost_new = ba_cost(p_new, reduce_fn)
+        accept = cost_new < cost_prev
+        p = jax.tree.map(lambda a, b: jnp.where(accept, a, b), p_new, p)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8),
+                        jnp.minimum(lam * 4.0, 1e3))
+        cost = jnp.where(accept, cost_new, cost_prev)
+        return p, lam, cost
+
+    cost0 = ba_cost(p, reduce_fn)
+    p_out, lam, cost = jax.lax.fori_loop(
+        0, iters, body, (p, jnp.asarray(lam0, jnp.float32), cost0))
+    return p_out, {"initial_cost": cost0, "final_cost": cost,
+                   "final_lambda": lam}
+
+
+def reprojection_rmse(p: BAProblem) -> jax.Array:
+    r, _, _ = residuals_and_jacobians(p)
+    n = jnp.maximum(jnp.sum(p.obs_mask), 1)
+    return jnp.sqrt(jnp.sum(r ** 2) / (2 * n))

@@ -1,0 +1,218 @@
+"""SfM layer tests: Lie ops, BA convergence on synthetic scenes, sharded BA
+equivalence on the 8-device mesh, pose-graph optimization, ATE."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from accelerated_features_tpu.sfm import (
+    BAProblem, PoseGraph, absolute_trajectory_error, bundle_adjust,
+    optimize_pose_graph, project, reprojection_rmse, se3_compose,
+    se3_from_Rt, se3_inverse, so3_exp, so3_log, triangulate_linear,
+    two_view_reconstruction)
+from accelerated_features_tpu.geometry import posekit_available
+
+
+def test_so3_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(10, 3)).astype(np.float32) * 0.8
+    R = so3_exp(jnp.asarray(w))
+    w2 = np.asarray(so3_log(R))
+    np.testing.assert_allclose(w2, w, atol=1e-5)
+    # orthonormality
+    RtR = np.einsum("nij,nik->njk", np.asarray(R), np.asarray(R))
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (10, 1, 1)),
+                               atol=1e-5)
+
+
+def test_se3_compose_inverse():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(6,)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32) * 0.3)
+    ab = se3_compose(a, b)
+    ident = se3_compose(se3_inverse(a), a)
+    np.testing.assert_allclose(np.asarray(ident), np.zeros(6), atol=1e-5)
+    # matrix check
+    from accelerated_features_tpu.sfm import se3_matrix
+    Tab = np.asarray(se3_matrix(ab))
+    Ta = np.asarray(se3_matrix(a))
+    Tb = np.asarray(se3_matrix(b))
+    np.testing.assert_allclose(Tab, Ta @ Tb, atol=1e-5)
+
+
+def _synth_ba_problem(seed=0, n_cams=6, n_pts=120, noise_px=1.0,
+                      perturb=0.05):
+    """Cameras on an arc looking at a point cloud; observations with noise;
+    initial estimate perturbed from ground truth."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], (n_pts, 3)).astype(np.float32)
+
+    cams_gt = np.zeros((n_cams, 6), np.float32)
+    for c in range(n_cams):
+        ang = 0.1 * (c - n_cams / 2)
+        cams_gt[c, :3] = [0, ang, 0]
+        cams_gt[c, 3:] = [0.5 * (c - n_cams / 2), 0, 0]
+
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for c in range(n_cams):
+        for p in range(n_pts):
+            uv = np.asarray(project(jnp.asarray(cams_gt[c]),
+                                    jnp.asarray(X[p]), jnp.asarray(K)))
+            if 0 <= uv[0] < 640 and 0 <= uv[1] < 480:
+                obs_cam.append(c)
+                obs_pt.append(p)
+                obs_uv.append(uv + rng.normal(0, noise_px, 2))
+    fixed = np.zeros(n_cams, bool)
+    fixed[0] = True
+
+    cams0 = cams_gt + rng.normal(0, perturb, cams_gt.shape).astype(np.float32)
+    cams0[0] = cams_gt[0]
+    pts0 = X + rng.normal(0, perturb * 2, X.shape).astype(np.float32)
+
+    problem = BAProblem(
+        cams=jnp.asarray(cams0),
+        points=jnp.asarray(pts0),
+        K=jnp.asarray(K),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(np.asarray(obs_uv), jnp.float32),
+        obs_mask=jnp.ones((len(obs_cam),), bool),
+        fixed_cams=jnp.asarray(fixed),
+    )
+    return problem, cams_gt, X
+
+
+def test_bundle_adjust_converges():
+    problem, cams_gt, X_gt = _synth_ba_problem()
+    rmse0 = float(reprojection_rmse(problem))
+    solved, info = jax.jit(
+        lambda p: bundle_adjust(p, iters=15, cg_iters=40))(problem)
+    rmse1 = float(reprojection_rmse(solved))
+    assert rmse1 < rmse0 / 3, (rmse0, rmse1)
+    assert rmse1 < 2.0  # ~noise level (1px std)
+    assert float(info["final_cost"]) < float(info["initial_cost"])
+    # camera poses close to GT
+    cams = np.asarray(solved.cams)
+    assert np.abs(cams - cams_gt).max() < 0.05
+
+
+def test_bundle_adjust_masked_obs():
+    """Masked-out observations must not affect the solution."""
+    problem, _, _ = _synth_ba_problem(seed=3)
+    n = problem.obs_cam.shape[0]
+    pad = 64
+    rng = np.random.default_rng(0)
+    garbage = BAProblem(
+        cams=problem.cams, points=problem.points, K=problem.K,
+        obs_cam=jnp.concatenate([problem.obs_cam,
+                                 jnp.zeros((pad,), jnp.int32)]),
+        obs_pt=jnp.concatenate([problem.obs_pt,
+                                jnp.zeros((pad,), jnp.int32)]),
+        obs_uv=jnp.concatenate([problem.obs_uv,
+                                jnp.asarray(rng.uniform(0, 5000, (pad, 2)),
+                                            jnp.float32)]),
+        obs_mask=jnp.concatenate([problem.obs_mask,
+                                  jnp.zeros((pad,), bool)]),
+        fixed_cams=problem.fixed_cams,
+    )
+    s1, _ = jax.jit(lambda p: bundle_adjust(p, iters=5, cg_iters=30))(problem)
+    s2, _ = jax.jit(lambda p: bundle_adjust(p, iters=5, cg_iters=30))(garbage)
+    np.testing.assert_allclose(np.asarray(s2.cams), np.asarray(s1.cams),
+                               atol=1e-4)
+
+
+def test_sharded_ba_matches_single_device():
+    from accelerated_features_tpu.parallel.ba import bundle_adjust_sharded
+    from accelerated_features_tpu.parallel import make_mesh
+    problem, _, _ = _synth_ba_problem(seed=5, n_cams=4, n_pts=60)
+    single, info1 = jax.jit(
+        lambda p: bundle_adjust(p, iters=8, cg_iters=30))(problem)
+    mesh = make_mesh((8, 1))
+    sharded, info2 = bundle_adjust_sharded(problem, mesh, iters=8,
+                                           cg_iters=30)
+    np.testing.assert_allclose(float(info2["final_cost"]),
+                               float(info1["final_cost"]), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sharded.cams),
+                               np.asarray(single.cams), atol=1e-3)
+
+
+def test_triangulation():
+    rng = np.random.default_rng(2)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    R = np.asarray(so3_exp(jnp.asarray([0.0, 0.1, 0.0])))
+    t = np.array([0.5, 0, 0])
+    X = rng.uniform([-1, -1, 5], [1, 1, 8], (30, 3))
+    P0 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P1 = K @ np.hstack([R, t[:, None]])
+    x0 = (P0 @ np.hstack([X, np.ones((30, 1))]).T).T
+    x0 = x0[:, :2] / x0[:, 2:]
+    x1 = (P1 @ np.hstack([X, np.ones((30, 1))]).T).T
+    x1 = x1[:, :2] / x1[:, 2:]
+    X_est = triangulate_linear(P0, P1, x0, x1)
+    np.testing.assert_allclose(X_est, X, atol=1e-6)
+
+
+@pytest.mark.skipif(not posekit_available(), reason="posekit unavailable")
+def test_two_view_reconstruction_plus_ba():
+    """Full slice: matches -> pose RANSAC -> triangulation -> BA."""
+    rng = np.random.default_rng(4)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    R = np.asarray(so3_exp(jnp.asarray([0.05, -0.15, 0.02])))
+    t = np.array([0.6, 0.1, 0.05])
+    X = rng.uniform([-2, -2, 5], [2, 2, 10], (200, 3))
+    x0h = (K @ (X / X[:, 2:]).T).T
+    Xc = (R @ X.T).T + t
+    x1h = (K @ (Xc / Xc[:, 2:]).T).T
+    p0 = x0h[:, :2] + rng.normal(0, 0.5, (200, 2))
+    p1 = x1h[:, :2] + rng.normal(0, 0.5, (200, 2))
+    # outliers
+    p1[:30] = rng.uniform(0, 640, (30, 2))
+
+    out = two_view_reconstruction(p0, p1, K)
+    assert out is not None
+    problem, inl = out
+    assert inl.sum() > 120
+    solved, info = jax.jit(
+        lambda p: bundle_adjust(p, iters=10, cg_iters=30))(problem)
+    assert float(reprojection_rmse(solved)) < 1.5
+
+
+def test_pose_graph_optimization():
+    """Chain of keyframes with noisy odometry + a loop closure."""
+    rng = np.random.default_rng(6)
+    n = 8
+    gt = np.zeros((n, 6), np.float32)
+    for i in range(n):
+        gt[i, :3] = [0, 0.1 * i, 0]
+        gt[i, 3:] = [0.4 * i, 0, 0]
+
+    g = PoseGraph.empty()
+    noisy = gt + rng.normal(0, 0.05, gt.shape).astype(np.float32)
+    noisy[0] = gt[0]
+    for i in range(n):
+        g.add_keyframe(noisy[i])
+    for i in range(n - 1):
+        meas = np.asarray(se3_compose(jnp.asarray(gt[i + 1]),
+                                      se3_inverse(jnp.asarray(gt[i]))))
+        g.add_edge(i, i + 1, meas)
+    # loop closure 0 -> n-1
+    meas = np.asarray(se3_compose(jnp.asarray(gt[n - 1]),
+                                  se3_inverse(jnp.asarray(gt[0]))))
+    g.add_edge(0, n - 1, meas, weight=2.0)
+
+    poses, info = optimize_pose_graph(g, iters=25)
+    assert info["final_cost"] < 1e-6 * max(info["initial_cost"], 1.0) or \
+        info["final_cost"] < 1e-6
+    ate = absolute_trajectory_error(poses, gt)
+    assert ate < 1e-2, ate
+
+
+def test_ate_invariance():
+    """ATE is zero under a global similarity transform."""
+    rng = np.random.default_rng(7)
+    gt = rng.normal(size=(10, 6)).astype(np.float32) * 0.3
+    ate = absolute_trajectory_error(gt, gt)
+    assert ate < 1e-5
