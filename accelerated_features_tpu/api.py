@@ -99,12 +99,17 @@ class XFeat:
 
     def __init__(self, weights: Optional[Union[str, dict]] = None,
                  top_k: int = 4096, detection_threshold: float = 0.05,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 fused_matching: Optional[bool] = None):
         self.params = load_params(weights)
         self.top_k = top_k
         self.detection_threshold = detection_threshold
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
             else jnp.float32
+        # fused Pallas MNN kernel: default on TPU (2.5x faster at K=8k),
+        # XLA path elsewhere (same semantics)
+        self.fused_matching = (jax.default_backend() == "tpu"
+                               if fused_matching is None else fused_matching)
         self._lighterglue = None
 
     # ---------------- jitted device programs (cached per static config) ----
@@ -127,6 +132,10 @@ class XFeat:
 
     @functools.lru_cache(maxsize=8)
     def _batch_match_fn(self, min_cossim):
+        if self.fused_matching:
+            from .ops.pallas.mnn import batch_mnn_match_fused
+            return jax.jit(functools.partial(batch_mnn_match_fused,
+                                             min_cossim=min_cossim))
         return jax.jit(functools.partial(batch_mnn_match_dense,
                                          min_cossim=min_cossim))
 

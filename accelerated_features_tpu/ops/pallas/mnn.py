@@ -1,0 +1,165 @@
+"""Fused mutual-nearest-neighbour matching — Pallas TPU kernel.
+
+The XLA path (ops/matching.py) materializes the (K1, K2) similarity matrix
+in HBM and reads it twice for the two argmax passes: for K=8192 that is
+~270 MB written + ~540 MB read per pair. This kernel streams MXU similarity
+tiles through VMEM and maintains running (max, argmax) state for BOTH
+directions in one pass — HBM traffic drops to the descriptors themselves
+(K * 64 floats), a >100x reduction.
+
+Semantics == ops.matching.mnn_match: invalid rows/columns are excluded from
+argmax via -1e9 masking, ties resolve to the first index (within-tile argmax
+takes the first; cross-tile strict '>' keeps the earlier tile).
+
+Shapes: K1, K2 padded to tile multiples by the wrapper; C (descriptor dim)
+must be a lane-friendly multiple (64 here). Whole problem stays in VMEM
+(both descriptor sets + one (TR, TC) tile), good to K ~ 16384 per side.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..matching import NEG, mnn_match
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+TR = 256   # row tile
+TC = 512   # column tile
+
+
+def _mnn_kernel(d1_ref, d2_ref, v1_ref, v2_ref,
+                max12_ref, arg12_ref, max21_ref, arg21_ref):
+    k1, c = d1_ref.shape
+    k2 = d2_ref.shape[0]
+    nr = k1 // TR
+    nc = k2 // TC
+
+    max21_ref[:] = jnp.full((1, k2), NEG, jnp.float32)
+    arg21_ref[:] = jnp.zeros((1, k2), jnp.int32)
+
+    def row_body(i, _):
+        d1t = d1_ref[pl.ds(i * TR, TR), :]
+        v1t = v1_ref[0, pl.ds(i * TR, TR)]
+
+        init = (jnp.full((TR,), NEG, jnp.float32),
+                jnp.zeros((TR,), jnp.int32))
+
+        def col_body(j, carry):
+            rmax, rarg = carry
+            d2t = d2_ref[pl.ds(j * TC, TC), :]
+            v2t = v2_ref[0, pl.ds(j * TC, TC)]
+            s = jax.lax.dot_general(
+                d1t, d2t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (TR, TC)
+            # mask invalid columns for the row-side argmax
+            s_row = jnp.where(v2t[None, :] > 0, s, NEG)
+            bm = jnp.max(s_row, axis=1)
+            ba = jnp.argmax(s_row, axis=1).astype(jnp.int32) + j * TC
+            upd = bm > rmax
+            rmax = jnp.where(upd, bm, rmax)
+            rarg = jnp.where(upd, ba, rarg)
+
+            # column side: mask invalid rows
+            s_col = jnp.where(v1t[:, None] > 0, s, NEG)
+            cm = jnp.max(s_col, axis=0)
+            ca = jnp.argmax(s_col, axis=0).astype(jnp.int32) + i * TR
+            cur = max21_ref[0, pl.ds(j * TC, TC)]
+            cura = arg21_ref[0, pl.ds(j * TC, TC)]
+            updc = cm > cur
+            max21_ref[0, pl.ds(j * TC, TC)] = jnp.where(updc, cm, cur)
+            arg21_ref[0, pl.ds(j * TC, TC)] = jnp.where(updc, ca, cura)
+            return rmax, rarg
+
+        rmax, rarg = jax.lax.fori_loop(0, nc, col_body, init)
+        max12_ref[0, pl.ds(i * TR, TR)] = rmax
+        arg12_ref[0, pl.ds(i * TR, TR)] = rarg
+        return 0
+
+    jax.lax.fori_loop(0, nr, row_body, 0)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mnn_pallas_call(d1, d2, v1, v2, interpret=False):
+    k1, c = d1.shape
+    k2 = d2.shape[0]
+    out = pl.pallas_call(
+        _mnn_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, k1), jnp.float32),
+            jax.ShapeDtypeStruct((1, k1), jnp.int32),
+            jax.ShapeDtypeStruct((1, k2), jnp.float32),
+            jax.ShapeDtypeStruct((1, k2), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+        interpret=interpret,
+    )(d1, d2, v1, v2)
+    return out
+
+
+def mnn_match_fused(d1: jax.Array, d2: jax.Array,
+                    valid1: Optional[jax.Array] = None,
+                    valid2: Optional[jax.Array] = None,
+                    min_cossim: float = -1.0,
+                    interpret: Optional[bool] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in fused replacement for ops.matching.mnn_match.
+
+    Returns (idx1 (K1,), mask (K1,)). Falls back to the XLA path when Pallas
+    is unavailable. `interpret` defaults to True off-TPU (CI/CPU tests)."""
+    if not _HAS_PALLAS:
+        return mnn_match(d1, d2, valid1, valid2, min_cossim)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    k1, c = d1.shape
+    k2 = d2.shape[0]
+    K1 = _round_up(max(k1, TR), TR)
+    K2 = _round_up(max(k2, TC), TC)
+
+    d1p = jnp.zeros((K1, c), jnp.float32).at[:k1].set(
+        d1.astype(jnp.float32))
+    d2p = jnp.zeros((K2, c), jnp.float32).at[:k2].set(
+        d2.astype(jnp.float32))
+    v1 = jnp.ones((k1,), bool) if valid1 is None else valid1
+    v2 = jnp.ones((k2,), bool) if valid2 is None else valid2
+    v1p = jnp.zeros((1, K1), jnp.float32).at[0, :k1].set(
+        v1.astype(jnp.float32))
+    v2p = jnp.zeros((1, K2), jnp.float32).at[0, :k2].set(
+        v2.astype(jnp.float32))
+
+    max12, arg12, max21, arg21 = _mnn_pallas_call(d1p, d2p, v1p, v2p,
+                                                  interpret=interpret)
+    max12 = max12[0, :k1]
+    arg12 = arg12[0, :k1]
+    arg21 = arg21[0, :k2]
+
+    idx = jnp.arange(k1, dtype=jnp.int32)
+    match12 = jnp.minimum(arg12, k2 - 1)
+    mutual = jnp.take(arg21, match12) == idx
+    mask = mutual & v1
+    if min_cossim > 0:
+        mask = mask & (max12 > min_cossim)
+    return match12, mask
+
+
+def batch_mnn_match_fused(d1: jax.Array, d2: jax.Array,
+                          min_cossim: float = -1.0):
+    """Batched fused MNN (vmap over the kernel)."""
+    return jax.vmap(lambda a, b: mnn_match_fused(a, b,
+                                                 min_cossim=min_cossim))(
+        d1, d2)
