@@ -148,3 +148,39 @@ def test_degenerate_inputs():
     p1 = rng.uniform(0, 640, (50, 2))
     K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
     estimate_relative_pose(p0, p1, K, K, max_iters=200)
+
+
+def test_tpu_ransac_batched():
+    """Batched 8-pt RANSAC (JAX) recovers pose on the synthetic scene."""
+    import jax
+    import jax.numpy as jnp
+    from accelerated_features_tpu.geometry.ransac_tpu import (
+        ransac_essential_batch, ransac_essential_tpu)
+
+    p0, p1, K, R_gt, t_gt, _ = _synth_scene(seed=7, outlier_frac=0.3)
+    res = ransac_essential_tpu(jnp.asarray(p0), jnp.asarray(p1),
+                               jnp.asarray(K, jnp.float32),
+                               jnp.asarray(K, jnp.float32),
+                               max_epipolar_error=1.5,
+                               key=jax.random.key(1))
+    err_r, err_t = _angular_errors(np.asarray(res.R), np.asarray(res.t),
+                                   R_gt, t_gt)
+    assert err_r < 2.0, err_r
+    assert err_t < 4.0, err_t
+    assert int(res.num_inliers) > 150
+
+    # batched pairs, with padding
+    pad = 50
+    p0p = np.concatenate([p0, np.zeros((pad, 2))])
+    p1p = np.concatenate([p1, np.zeros((pad, 2))])
+    valid = np.concatenate([np.ones(len(p0), bool), np.zeros(pad, bool)])
+    batch = ransac_essential_batch(
+        jnp.asarray(np.stack([p0p, p0p])), jnp.asarray(np.stack([p1p, p1p])),
+        jnp.asarray(np.stack([K, K]), jnp.float32),
+        jnp.asarray(np.stack([K, K]), jnp.float32),
+        jnp.asarray(np.stack([valid, valid])),
+        max_epipolar_error=1.5, key=jax.random.key(2))
+    for b in range(2):
+        err_r, err_t = _angular_errors(np.asarray(batch.R[b]),
+                                       np.asarray(batch.t[b]), R_gt, t_gt)
+        assert err_r < 2.0 and err_t < 4.0
