@@ -619,14 +619,16 @@ static RansacResult ransac_E(const double* p0, const double* p1, int n,
           score_model(El, p0, p1, n, thr_sq, best);
       }
     }
-    // adaptive termination
+    // adaptive termination (compare in double: the iteration estimate can
+    // exceed INT_MAX when the inlier ratio is tiny — casting first would
+    // overflow and collapse the loop)
     if (best.num_inliers > 5) {
       double w = (double)best.num_inliers / n;
       double p_outlier = 1.0 - std::pow(w, 5);
       p_outlier = std::min(std::max(p_outlier, 1e-12), 1.0 - 1e-12);
-      int need = (int)std::ceil(std::log(1.0 - success_prob) /
-                                std::log(p_outlier));
-      if (need < iters) iters = std::max(need, it + 1);
+      double need = std::ceil(std::log(1.0 - success_prob) /
+                              std::log(p_outlier));
+      if (need < (double)iters) iters = std::max((int)need, it + 1);
       if (iters > max_iters) iters = max_iters;
     }
   }
@@ -808,8 +810,9 @@ int pk_estimate_homography(const double* pts0, const double* pts1, int n,
         double w = (double)best_cnt / n;
         double po = std::min(std::max(1.0 - std::pow(w, 4), 1e-12),
                              1.0 - 1e-12);
-        int need = (int)std::ceil(std::log(1e-5) / std::log(po));
-        if (need < iters) iters = std::max(need, it + 1);
+        // double comparison: the estimate overflows int for tiny ratios
+        double need = std::ceil(std::log(1e-5) / std::log(po));
+        if (need < (double)iters) iters = std::max((int)need, it + 1);
       }
     }
   }
