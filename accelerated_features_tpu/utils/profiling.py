@@ -1,0 +1,81 @@
+"""Profiling and speed-of-light accounting (SURVEY §5: the reference has no
+tracing at all — its closest facility is the demo FPS meter,
+realtime_demo.py:94-97).
+
+Wraps jax.profiler for on-demand device traces plus a simple wall-clock
+timer with throughput/roofline summaries.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+# v5e per-chip peaks (public spec): used for speed-of-light fractions.
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = 49e12
+PEAK_HBM_BYTES = 819e9
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a jax.profiler trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3,
+            **kwargs) -> float:
+    """Steady-state seconds/call of a jitted function (blocks on outputs)."""
+    out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def speed_of_light(seconds: float, flops: float = 0.0, bytes_moved: float = 0.0,
+                   dtype: str = "bf16") -> Dict[str, float]:
+    """Fraction of per-chip peak achieved + the roofline-implied floor."""
+    peak = PEAK_BF16_FLOPS if dtype == "bf16" else PEAK_F32_FLOPS
+    out: Dict[str, float] = {"seconds": seconds}
+    if flops:
+        out["tflops"] = flops / seconds / 1e12
+        out["flops_frac_of_peak"] = flops / seconds / peak
+    if bytes_moved:
+        out["gbps"] = bytes_moved / seconds / 1e9
+        out["bw_frac_of_peak"] = bytes_moved / seconds / PEAK_HBM_BYTES
+    if flops or bytes_moved:
+        floor = max(flops / peak if flops else 0.0,
+                    bytes_moved / PEAK_HBM_BYTES if bytes_moved else 0.0)
+        out["sol_seconds"] = floor
+        out["sol_frac"] = floor / seconds if seconds else 0.0
+    return out
+
+
+class FPSMeter:
+    """Rolling-window FPS meter (reference realtime_demo.py:94-97,280-284)."""
+
+    def __init__(self, window: int = 30):
+        self.window = window
+        self._stamps = []
+
+    def tick(self) -> float:
+        now = time.perf_counter()
+        self._stamps.append(now)
+        if len(self._stamps) > self.window:
+            self._stamps.pop(0)
+        if len(self._stamps) < 2:
+            return 0.0
+        return (len(self._stamps) - 1) / (self._stamps[-1] - self._stamps[0])

@@ -174,3 +174,49 @@ def test_train_step_descends():
         losses.append(float(metrics["loss_total"]))
     assert losses[-1] < losses[0], losses
     assert int(state["step"]) == 8
+
+
+def test_check_accuracy_parity(ref_losses):
+    """vs reference check_accuracy (training/utils.py:177-194)."""
+    import importlib
+    ref_utils = importlib.import_module("modules.training.utils")
+    from accelerated_features_tpu.train.utils import check_accuracy
+    rng = np.random.default_rng(8)
+    m1 = rng.normal(size=(40, 16)).astype(np.float32)
+    m2 = (m1 + 0.5 * rng.normal(size=(40, 16))).astype(np.float32)
+    ref = ref_utils.check_accuracy(torch.from_numpy(m1), torch.from_numpy(m2))
+    ours = float(jax.jit(check_accuracy)(jnp.asarray(m1), jnp.asarray(m2)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_crop_patches_parity(ref_losses):
+    """vs reference crop_patches (training/utils.py:136-160)."""
+    import importlib
+    ref_utils = importlib.import_module("modules.training.utils")
+    from accelerated_features_tpu.train.utils import crop_patches
+    rng = np.random.default_rng(9)
+    maps = rng.normal(size=(20, 24, 3)).astype(np.float32)
+    coords = rng.integers(3, 17, size=(10, 2)).astype(np.int64)
+
+    t = torch.from_numpy(maps.transpose(2, 0, 1))[None]
+    ref = ref_utils.crop_patches(t, torch.from_numpy(coords), size=7)
+    # reference returns [B, C, N, s, s]; note it offsets by +halfsize due to
+    # padding, i.e. patches centered at coords
+    ref = ref[0].permute(1, 2, 3, 0).numpy()  # (N, s, s, C)
+
+    ours = np.asarray(jax.jit(lambda m, c: crop_patches(m, c, 7))(
+        jnp.asarray(maps), jnp.asarray(coords)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_teacher_labels(tmp_path):
+    from accelerated_features_tpu.train.utils import (PrecomputedTeacher,
+                                                      save_teacher_keypoints)
+    rng = np.random.default_rng(10)
+    kpts = rng.uniform(0, 63, (30, 2)).astype(np.float32)
+    save_teacher_keypoints(str(tmp_path / "t.npz"), {"img0": kpts})
+    teacher = PrecomputedTeacher(str(tmp_path / "t.npz"))
+    labels = np.asarray(teacher.labels("img0", (8, 8)))
+    assert labels.shape == (8, 8)
+    assert (labels <= 64).all() and (labels >= 0).all()
+    assert (labels < 64).sum() >= 1

@@ -60,3 +60,52 @@ def test_sharded_step_matches_single_device():
         # by 2*lr: tolerance must sit above that knife edge
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2.5 * cfg.lr, rtol=1e-4)
+
+
+def test_sharded_extraction_matches_single():
+    from accelerated_features_tpu.models.params import (fold_batchnorm,
+                                                        init_xfeat_params)
+    from accelerated_features_tpu.ops.extraction import detect_and_compute
+    from accelerated_features_tpu.parallel import make_mesh
+    from accelerated_features_tpu.parallel.matching import (
+        sharded_detect_and_compute)
+
+    params = fold_batchnorm(init_xfeat_params(jax.random.key(0)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 64, 96, 1)), jnp.float32)
+
+    single = jax.jit(lambda p, im: detect_and_compute(
+        p, im, top_k=64, detection_threshold=0.012))(params, x)
+    mesh = make_mesh((8, 1))
+    sharded = sharded_detect_and_compute(mesh, params, x, top_k=64,
+                                         detection_threshold=0.012)
+    for k in single:
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(single[k]), atol=1e-5)
+
+
+def test_sp_matching_matches_single():
+    from accelerated_features_tpu.ops.matching import mnn_match
+    from accelerated_features_tpu.parallel import make_mesh
+    from accelerated_features_tpu.parallel.matching import mnn_match_sp
+
+    rng = np.random.default_rng(1)
+    k1, k2 = 96, 128  # k2 divisible by the 4-device model axis? use (2,4)
+    d1 = rng.normal(size=(k1, 64)).astype(np.float32)
+    d2 = rng.normal(size=(k2, 64)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    v1 = jnp.asarray(rng.uniform(size=k1) > 0.2)
+    v2 = jnp.asarray(rng.uniform(size=k2) > 0.2)
+
+    idx_ref, mask_ref = jax.jit(
+        lambda a, b, x, y: mnn_match(a, b, x, y, 0.1))(
+        jnp.asarray(d1), jnp.asarray(d2), v1, v2)
+
+    mesh = make_mesh((2, 4))
+    idx_sp, mask_sp = mnn_match_sp(mesh, jnp.asarray(d1), jnp.asarray(d2),
+                                   v1, v2, min_cossim=0.1)
+    np.testing.assert_array_equal(np.asarray(mask_sp), np.asarray(mask_ref))
+    m = np.asarray(mask_ref)
+    np.testing.assert_array_equal(np.asarray(idx_sp)[m],
+                                  np.asarray(idx_ref)[m])
