@@ -127,6 +127,8 @@ def topk_keypoints(scores: jax.Array, top_k: int
         ys = (idx // w).astype(jnp.int32)
         return jnp.stack([xs, ys], axis=-1), top_scores
 
+    # tile-transpose to (…, 4) + argmax: measured fastest on v5e among
+    # reduce_window / reshape-max / gather-recovery variants
     s4 = scores.reshape(b, h // 2, 2, w // 2, 2)
     s4 = s4.transpose(0, 1, 3, 2, 4).reshape(b, h // 2, w // 2, 4)
     best = jnp.max(s4, axis=-1)

@@ -29,7 +29,7 @@ def main():
                                                         init_xfeat_params)
     from accelerated_features_tpu.ops.extraction import detect_and_compute
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     top_k = int(os.environ.get("BENCH_TOPK", "4096"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
