@@ -58,9 +58,10 @@ def parse_args():
                     help="fixed correspondence budget per pair")
     ap.add_argument("--mesh", type=lambda s: tuple(map(int, s.split("x"))),
                     default=None, help="data x model mesh, e.g. 4x2")
-    ap.add_argument("--no_distill", action="store_true",
-                    help="disable the teacher distillation loss (the ALIKE "
-                         "teacher labels must be provided by the pipeline)")
+    ap.add_argument("--distill_teacher", type=str, default=None,
+                    help="weights (.npz/.pt) of a teacher XFeat whose "
+                         "keypoints supervise the keypoint head on-device "
+                         "(replaces the reference's in-loop ALIKE teacher)")
     return ap.parse_args()
 
 
@@ -135,13 +136,16 @@ def dry_run_batch(batch_size: int, res, max_corrs: int):
 
 def main():
     args = parse_args()
-    # Distillation is off in this entry point: the labels need an external
-    # teacher keypoint source (the reference shells out to ALIKE in-loop,
-    # third_party/alike_wrapper.py). Wire `distill_labels0/1` into the batch
-    # (train/losses.py distill_labels_from_kpts) and set use_distill=True to
-    # enable with pre-extracted teacher keypoints.
+    # Distillation: on when a teacher checkpoint is given — its keypoints
+    # are computed ON DEVICE per batch (train/utils.py make_xfeat_teacher),
+    # replacing the reference's per-step ALIKE CPU round-trip
+    # (reference losses.py:78-81).
+    teacher_fn = None
+    if args.distill_teacher:
+        from .utils import make_xfeat_teacher
+        teacher_fn = make_xfeat_teacher(args.distill_teacher)
     cfg = TrainConfig(lr=args.lr, lr_gamma=args.gamma_steplr,
-                      use_distill=False)
+                      use_distill=teacher_fn is not None)
 
     params = init_xfeat_params(jax.random.key(0))
     state = init_train_state(params, cfg)
@@ -192,14 +196,21 @@ def main():
                     for k in parts[0]}
         n_steps = args.n_steps
 
-    example = get_batch()
+    def prepare(batch):
+        if teacher_fn is not None:
+            batch = dict(batch)
+            batch["distill_labels0"] = teacher_fn(batch["image0"])
+            batch["distill_labels1"] = teacher_fn(batch["image1"])
+        return batch
+
+    example = prepare(get_batch())
     with mesh:
         step_fn, state_sh, shard_batch = make_sharded_train_step(
             mesh, state, example, cfg)
         writer = _make_writer(args.ckpt_save_path)
         t0 = time.time()
         for i in range(start_step, n_steps):
-            batch = get_batch()
+            batch = prepare(get_batch())
             # skip corrupted batches (<30 correspondences anywhere,
             # reference train.py:207-214)
             n_ok = np.asarray(jnp.sum(batch["corr_valid"], -1))

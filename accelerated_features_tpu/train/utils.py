@@ -106,3 +106,26 @@ def save_teacher_keypoints(npz_path: str,
     np.savez_compressed(npz_path,
                         **{k: np.asarray(v, np.float32)
                            for k, v in kpts_by_id.items()})
+
+
+def make_xfeat_teacher(weights: str, top_k: int = 1024,
+                       detection_threshold: float = 0.05):
+    """On-device teacher: a (stronger / pretrained) XFeat detector whose
+    keypoints supervise the keypoint head — the TPU-native replacement for
+    the reference's in-loop ALIKE CPU round-trip (losses.py:78-81). Returns
+    a jitted batch function (B,H,W,1)[0,1] -> (B,h,w) int32 label maps."""
+    import jax
+    from ..api import load_params
+    from ..ops.extraction import detect_and_compute
+
+    params = load_params(weights)
+
+    @jax.jit
+    def labels_fn(images: jax.Array) -> jax.Array:
+        out = detect_and_compute(params, images, top_k=top_k,
+                                 detection_threshold=detection_threshold)
+        h, w = images.shape[1] // 8, images.shape[2] // 8
+        return jax.vmap(lambda k, v: distill_labels_from_kpts(k, v, h, w))(
+            out["keypoints"], out["valid"])
+
+    return labels_fn
