@@ -203,3 +203,11 @@ def test_topk_keypoints_reduced_matches_dense():
         valid = flat[b][order] > 0
         np.testing.assert_array_equal(kpts[b][valid], ref_xy[valid])
         np.testing.assert_allclose(scores[b][valid], flat[b][order][valid])
+
+
+def test_config_tree():
+    from accelerated_features_tpu.config import DEFAULT, make_xfeat
+    assert DEFAULT.detector.nms_kernel_size == 5
+    assert DEFAULT.semidense.scale1 == 0.6
+    xf = make_xfeat()
+    assert xf.top_k == DEFAULT.detector.top_k
