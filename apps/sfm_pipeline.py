@@ -56,12 +56,12 @@ def main():
     feats = [xf.detectAndCompute(f)[0] for f in frames]
     print(f"[sfm] extracted ({np.mean([len(f['keypoints']) for f in feats]):.0f} kpts/frame)")
 
-    # sequential two-view geometry -> pose graph
+    # sequential two-view geometry -> pose graph; pairwise inlier matches
+    # also feed multi-view track building
     graph = PoseGraph.empty()
     graph.add_keyframe(np.zeros(6, np.float32))
     rel_poses = []
-    all_obs = {"cam": [], "pt": [], "uv": []}
-    points = []
+    pair_matches = {}
     for i in range(len(frames) - 1):
         i0, i1 = xf.match(feats[i]["descriptors"], feats[i + 1]["descriptors"],
                           min_cossim=-1)
@@ -81,41 +81,37 @@ def main():
             se3_compose(jnp.asarray(rel), jnp.asarray(prev))))
         graph.add_edge(i, i + 1, rel, weight=float(max(inl.sum(), 1)))
         rel_poses.append((rel, p0, p1, inl))
+        pair_matches[(i, i + 1)] = (i0[inl], i1[inl])
         print(f"[sfm] pair {i}-{i+1}: {len(p0)} matches, {inl.sum()} inliers")
 
     poses, info = optimize_pose_graph(graph, iters=20)
     print(f"[sfm] pose graph: cost {info['initial_cost']:.3f} -> "
           f"{info['final_cost']:.3f}")
 
-    # triangulate pairwise inliers into a global map (pair-local tracks)
-    pt_ofs = 0
-    for i, (rel, p0, p1, inl) in enumerate(rel_poses):
-        if inl.sum() < 8:
-            continue
-        from accelerated_features_tpu.sfm import se3_matrix
-        T0 = np.asarray(se3_matrix(jnp.asarray(poses[i])))
-        T1 = np.asarray(se3_matrix(jnp.asarray(poses[i + 1])))
-        P0 = K @ T0[:3]
-        P1 = K @ T1[:3]
-        X = triangulate_linear(P0, P1, p0[inl], p1[inl])
-        # keep points in front of both cameras and not absurdly far
-        z0 = (T0[:3, :3] @ X.T).T[:, 2] + T0[2, 3]
-        z1 = (T1[:3, :3] @ X.T).T[:, 2] + T1[2, 3]
-        keep = (z0 > 1e-2) & (z1 > 1e-2) & (np.linalg.norm(X, axis=1) < 1e4)
-        X = X[keep]
-        u0 = p0[inl][keep]
-        u1 = p1[inl][keep]
-        n = len(X)
-        points.append(X)
-        all_obs["cam"] += [np.full(n, i), np.full(n, i + 1)]
-        all_obs["pt"] += [np.arange(pt_ofs, pt_ofs + n)] * 2
-        all_obs["uv"] += [u0, u1]
-        pt_ofs += n
-
-    X = np.concatenate(points).astype(np.float32)
-    obs_cam = np.concatenate(all_obs["cam"]).astype(np.int32)
-    obs_pt = np.concatenate(all_obs["pt"]).astype(np.int32)
-    obs_uv = np.concatenate(all_obs["uv"]).astype(np.float32)
+    # multi-view tracks from pairwise inlier matches -> triangulation
+    from accelerated_features_tpu.sfm import build_tracks, triangulate_tracks
+    kpts_per_frame = [f["keypoints"] for f in feats]
+    obs_cam, obs_pt, obs_uv, n_tracks = build_tracks(
+        pair_matches, kpts_per_frame, min_length=2)
+    print(f"[sfm] {n_tracks} tracks "
+          f"(mean length {len(obs_cam)/max(n_tracks,1):.1f})")
+    X = triangulate_tracks(obs_cam, obs_pt, obs_uv, n_tracks,
+                           np.asarray(poses, np.float32),
+                           np.asarray(K, np.float32))
+    # drop tracks behind any observing camera or absurdly far
+    from accelerated_features_tpu.sfm import se3_matrix
+    Ts = np.asarray(se3_matrix(jnp.asarray(np.asarray(poses, np.float32))))
+    ok = np.ones(n_tracks, bool)
+    z = np.einsum("nij,mj->nmi", Ts[:, :3, :3], X)[:, :, 2] + Ts[:, None, 2, 3]
+    for t in range(n_tracks):
+        cams_t = obs_cam[obs_pt == t]
+        ok[t] = (z[cams_t, t] > 1e-2).all() and np.linalg.norm(X[t]) < 1e4
+    keep_obs = ok[obs_pt]
+    remap = np.cumsum(ok) - 1
+    obs_cam = obs_cam[keep_obs]
+    obs_pt = remap[obs_pt[keep_obs]].astype(np.int32)
+    obs_uv = obs_uv[keep_obs]
+    X = X[ok].astype(np.float32)
     print(f"[sfm] map: {len(X)} points, {len(obs_cam)} observations")
 
     fixed = np.zeros(len(poses), bool)

@@ -216,3 +216,60 @@ def test_ate_invariance():
     gt = rng.normal(size=(10, 6)).astype(np.float32) * 0.3
     ate = absolute_trajectory_error(gt, gt)
     assert ate < 1e-5
+
+
+def test_track_building():
+    from accelerated_features_tpu.sfm.tracks import build_tracks
+    # 3 frames; kpt 0 of each frame is one track; kpt 1 only in frames 0-1
+    kpts = [np.array([[10.0, 10], [50, 50]], np.float32),
+            np.array([[11.0, 10], [51, 50]], np.float32),
+            np.array([[12.0, 10], [99, 99]], np.float32)]
+    matches = {
+        (0, 1): (np.array([0, 1]), np.array([0, 1])),
+        (1, 2): (np.array([0]), np.array([0])),
+    }
+    oc, op, uv, n = build_tracks(matches, kpts, min_length=2)
+    assert n == 2
+    lens = [np.sum(op == t) for t in range(n)]
+    assert sorted(lens) == [2, 3]
+    # the 3-view track has one obs per frame
+    t3 = int(np.argmax(lens))
+    assert sorted(oc[op == t3].tolist()) == [0, 1, 2]
+
+
+def test_track_conflict_dropped():
+    from accelerated_features_tpu.sfm.tracks import build_tracks
+    kpts = [np.zeros((3, 2), np.float32)] * 2
+    # kpt 0 and 1 of frame 0 both match kpt 0 of frame 1 -> conflict
+    matches = {(0, 1): (np.array([0, 1]), np.array([0, 0]))}
+    _, _, _, n = build_tracks(matches, kpts, min_length=2)
+    assert n == 0
+
+
+def test_triangulate_tracks_and_ba():
+    """Multi-view tracks -> triangulation -> BA on a 4-camera scene."""
+    from accelerated_features_tpu.sfm.tracks import (build_tracks,
+                                                     triangulate_tracks)
+    rng = np.random.default_rng(11)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    n_cams, n_pts = 4, 60
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], (n_pts, 3)).astype(np.float32)
+    cams = np.zeros((n_cams, 6), np.float32)
+    cams[:, 3] = np.linspace(-1, 1, n_cams)
+
+    kpts, matches = [], {}
+    for c in range(n_cams):
+        uv = np.stack([np.asarray(project(jnp.asarray(cams[c]),
+                                          jnp.asarray(X[p]),
+                                          jnp.asarray(K)))
+                       for p in range(n_pts)])
+        kpts.append(uv.astype(np.float32))
+    for c in range(n_cams - 1):
+        matches[(c, c + 1)] = (np.arange(n_pts), np.arange(n_pts))
+
+    oc, op, uv, n = build_tracks(matches, kpts, min_length=3)
+    assert n == n_pts
+    assert (np.bincount(op) == n_cams).all()
+
+    Xt = triangulate_tracks(oc, op, uv, n, cams, K)
+    np.testing.assert_allclose(Xt, X, atol=1e-3)
