@@ -189,3 +189,49 @@ def test_match_wrapper(setup):
     assert (idx[:, 0] < k0.shape[1]).all() and (idx[:, 1] < k1.shape[1]).all()
     # mutual consistency: no duplicated targets
     assert len(np.unique(idx[:, 1])) == len(idx)
+
+
+def test_lighterglue_loss_trains():
+    """A few Adam steps on a toy matching problem reduce the loss and raise
+    match accuracy (the matcher is trainable end-to-end)."""
+    import optax
+    from accelerated_features_tpu.train.lighterglue_loss import (
+        lighterglue_loss)
+
+    rng = np.random.default_rng(0)
+    M, S = 32, 24
+    # distinctive descriptors, identical in both images for the matched set
+    base = rng.normal(size=(M, 64)).astype(np.float32)
+    perm = rng.permutation(M)
+    batch = {
+        "kpts0": jnp.asarray(rng.uniform(0, [640, 480], (1, M, 2)),
+                             jnp.float32),
+        "kpts1": jnp.asarray(rng.uniform(0, [640, 480], (1, M, 2)),
+                             jnp.float32),
+        "descs0": jnp.asarray(base)[None],
+        "descs1": jnp.asarray(base[perm])[None],
+        "size0": jnp.asarray([[640.0, 480.0]]),
+        "size1": jnp.asarray([[640.0, 480.0]]),
+        # gt pairs: descs1[j] == base[perm[j]] so match i=perm[j] <-> j
+        "gt_idx0": jnp.asarray(perm[None, :S], jnp.int32),
+        "gt_idx1": jnp.asarray(np.arange(S)[None], jnp.int32),
+        "gt_valid": jnp.ones((1, S), bool),
+    }
+
+    params = init_lighterglue_params(jax.random.key(0))
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: lighterglue_loss(p, batch), has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, metrics
+
+    losses = []
+    for _ in range(12):
+        params, opt_state, loss, metrics = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses[-1])
