@@ -199,13 +199,15 @@ class XFeat:
         Returns (idx0, idx1) compacted numpy index arrays."""
         d1 = jnp.asarray(feats1, jnp.float32)
         d2 = jnp.asarray(feats2, jnp.float32)
-        k = max(d1.shape[0], d2.shape[0])
+        # pad to a bucketed size so repeated calls with nearby counts reuse
+        # the same jit specialization
+        k = max(d1.shape[0], d2.shape[0], 64)
+        k = 1 << (k - 1).bit_length()
         d1p = jnp.zeros((k, d1.shape[1]), jnp.float32).at[:d1.shape[0]].set(d1)
         d2p = jnp.zeros((k, d2.shape[1]), jnp.float32).at[:d2.shape[0]].set(d2)
         v1 = (jnp.arange(k) < d1.shape[0])
         v2 = (jnp.arange(k) < d2.shape[0])
-        idx1, mask = jax.jit(functools.partial(
-            mnn_match, min_cossim=min_cossim))(d1p, d2p, v1, v2)
+        idx1, mask = self._match_fn(min_cossim)(d1p, d2p, v1, v2)
         idx1, mask = np.asarray(idx1), np.asarray(mask)
         idx0 = np.nonzero(mask)[0]
         return idx0, idx1[idx0]
