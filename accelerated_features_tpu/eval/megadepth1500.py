@@ -40,21 +40,20 @@ def load_pairs(json_path: str = DEFAULT_JSON) -> List[dict]:
 
 
 def _resize_pair_images(im0, im1, pair, cv2):
-    """Resize to the stored eval sizes (reference megadepth1500.py:43-65
-    stores /32-divisible sizes <= 1200px) and return scale factors."""
-    s0 = pair["size0"] if "size0" in pair else pair.get("imsize0")
-    s1 = pair["size1"] if "size1" in pair else pair.get("imsize1")
+    """Resize to the stored eval sizes and return the stored kpt->intrinsics
+    scale factors (reference megadepth1500.py:46-57 resizes to `size0_hw`
+    (h, w) and rescales matches by the JSON's `scale0`/`scale1`,
+    megadepth1500.py:225-227)."""
     out = []
     scales = []
-    for im, s in [(im0, s0), (im1, s1)]:
-        if s is not None:
-            w, h = int(s[0]), int(s[1])
-            scale = (im.shape[1] / w, im.shape[0] / h)
-            im = cv2.resize(im, (w, h))
-        else:
-            scale = (1.0, 1.0)
+    for im, size_key, scale_key in [(im0, "size0_hw", "scale0"),
+                                    (im1, "size1_hw", "scale1")]:
+        hw = pair.get(size_key)
+        if hw is not None:
+            im = cv2.resize(im, (int(hw[1]), int(hw[0])))
+        sc = pair.get(scale_key)
+        scales.append(tuple(sc) if sc is not None else (1.0, 1.0))
         out.append(im)
-        scales.append(scale)
     return out[0], out[1], scales[0], scales[1]
 
 

@@ -150,3 +150,27 @@ def test_scannet_plumbing(tmp_path):
     best = best_result(sweep)
     assert best["auc@5"] > 0.9
     assert best["best_threshold"] in (1.0, 2.0)
+
+
+def test_megadepth_json_schema():
+    """The harness consumes the real reference asset schema."""
+    import json
+    path = "/root/reference/assets/megadepth_1500.json"
+    if not os.path.exists(path):
+        pytest.skip("reference asset unavailable")
+    from accelerated_features_tpu.eval.megadepth1500 import (
+        _resize_pair_images, load_pairs)
+    pairs = load_pairs(path)
+    assert len(pairs) == 1500
+    p = pairs[0]
+    for k in ("K0", "K1", "T_0to1", "pair_names", "size0_hw", "scale0"):
+        assert k in p, k
+    im = np.zeros((1200, 1600, 3), np.uint8)
+    import cv2
+    r0, r1, s0, s1 = _resize_pair_images(im, im, p, cv2)
+    assert r0.shape[:2] == tuple(p["size0_hw"])
+    assert s0 == tuple(p["scale0"])
+    # pose error path accepts the raw pair dict
+    from accelerated_features_tpu.eval.megadepth1500 import compute_pose_error
+    err = compute_pose_error(p, np.zeros((2, 2)), np.zeros((2, 2)), s0, s1)
+    assert err["R_err"] == 180.0
