@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.backbone import xfeat_forward
 from .models.params import (fold_batchnorm, import_torch_state_dict,
                             init_xfeat_params)
 from .ops.extraction import detect_and_compute, detect_and_compute_dense

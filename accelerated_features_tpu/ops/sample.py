@@ -18,7 +18,6 @@ jit/vmap friendly.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -19,7 +19,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..sfm.ba import BAProblem, bundle_adjust
 

@@ -17,8 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .lie import (se3_apply, se3_compose, se3_from_Rt, se3_inverse,
-                  se3_matrix, so3_exp, so3_log)
+from .lie import se3_compose, se3_inverse, so3_exp
 
 
 @dataclasses.dataclass

@@ -11,7 +11,7 @@ fixed-shape device BA (sfm/ba.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
