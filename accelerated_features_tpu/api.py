@@ -146,13 +146,15 @@ class XFeat:
     # ---------------- input handling ----------------------------------------
 
     def parse_input(self, x: ArrayLike) -> jnp.ndarray:
-        """(H,W[,C]) or (B,H,W,C) uint8/float -> (B,H,W,C) float in [0,1]
-        (reference parse_input, xfeat.py:396-403, but NHWC)."""
+        """(H,W[,C]), (B,H,W) gray batch, or (B,H,W,C) uint8/float ->
+        (B,H,W,C) float in [0,1] (reference parse_input, xfeat.py:396-403,
+        but NHWC). 3-D inputs whose last dim is a channel count (1/3/4) are
+        single images; otherwise they are grayscale batches."""
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
         if x.ndim == 2:
             x = x[..., None]
         if x.ndim == 3:
-            x = x[None]
+            x = x[None] if x.shape[-1] in (1, 3, 4) else x[..., None]
         if x.dtype == np.uint8 or (hasattr(x, "dtype") and
                                    x.dtype == jnp.uint8):
             x = jnp.asarray(x).astype(jnp.float32) / 255.0

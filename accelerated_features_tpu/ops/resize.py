@@ -36,6 +36,9 @@ def preprocess_shape(h: int, w: int) -> Tuple[int, int, float, float]:
     """Round a shape down to /32 (reference xfeat.py:236-238). Returns
     (_H, _W, rh, rw) with rh/rw mapping resized coords back to the input."""
     _h, _w = (h // 32) * 32, (w // 32) * 32
+    if _h == 0 or _w == 0:
+        raise ValueError(f"image {h}x{w} is smaller than the /32 stride; "
+                         "inputs must be at least 32x32")
     return _h, _w, h / _h, w / _w
 
 
