@@ -198,16 +198,18 @@ class XFeat:
               min_cossim: float = 0.82) -> Tuple[np.ndarray, np.ndarray]:
         """MNN match of two descriptor sets (reference xfeat.py:327-348).
         Returns (idx0, idx1) compacted numpy index arrays."""
-        d1 = jnp.asarray(feats1, jnp.float32)
-        d2 = jnp.asarray(feats2, jnp.float32)
-        # pad to a bucketed size so repeated calls with nearby counts reuse
-        # the same jit specialization
+        d1 = np.asarray(feats1, np.float32)
+        d2 = np.asarray(feats2, np.float32)
+        # pad host-side to a bucketed size: repeated calls with nearby counts
+        # reuse one jit specialization, and no eager device ops are issued
         k = max(d1.shape[0], d2.shape[0], 64)
         k = 1 << (k - 1).bit_length()
-        d1p = jnp.zeros((k, d1.shape[1]), jnp.float32).at[:d1.shape[0]].set(d1)
-        d2p = jnp.zeros((k, d2.shape[1]), jnp.float32).at[:d2.shape[0]].set(d2)
-        v1 = (jnp.arange(k) < d1.shape[0])
-        v2 = (jnp.arange(k) < d2.shape[0])
+        d1p = np.zeros((k, d1.shape[1]), np.float32)
+        d1p[:d1.shape[0]] = d1
+        d2p = np.zeros((k, d2.shape[1]), np.float32)
+        d2p[:d2.shape[0]] = d2
+        v1 = np.arange(k) < d1.shape[0]
+        v2 = np.arange(k) < d2.shape[0]
         idx1, mask = self._match_fn(min_cossim)(d1p, d2p, v1, v2)
         idx1, mask = np.asarray(idx1), np.asarray(mask)
         idx0 = np.nonzero(mask)[0]
