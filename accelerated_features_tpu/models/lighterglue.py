@@ -211,9 +211,20 @@ def apply_rotary(t: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return t * cos + _rotate_half(t) * sin
 
 
+FLASH_MIN_N = 1024  # below this the dense XLA path wins (kernel overhead)
+
+
 def _attention(q, k, v, mask_k: Optional[jax.Array], heads: int):
-    """Multi-head SDPA on (B, M, D) with optional key-side mask (B, N)."""
+    """Multi-head SDPA on (B, M, D) with optional key-side mask (B, N).
+
+    Large keypoint sets on TPU route to the Pallas flash-attention kernel
+    (ops/pallas/attention.py): the N x N score matrix stays in VMEM."""
     b, m, d = q.shape
+    if (heads == 1 and jax.default_backend() == "tpu"
+            and max(m, k.shape[1]) >= FLASH_MIN_N):
+        from ..ops.pallas.attention import flash_attention
+        return flash_attention(q, k, v, mask_k,
+                               scale=1.0 / math.sqrt(d), interpret=False)
     hd = d // heads
 
     def split(x):
