@@ -110,6 +110,24 @@ def _flatten_keys(tree, prefix=""):
     return keys
 
 
+def load_params_from_checkpoint(ckpt_dir_or_path: str):
+    """Extract the model params pytree from a training checkpoint, for
+    handing to the inference engine (XFeat(weights=params))."""
+    path = ckpt_dir_or_path
+    if os.path.isdir(path) and latest_checkpoint(path):
+        path = latest_checkpoint(path)
+    if path.endswith(".npz"):
+        flat = dict(np.load(path, allow_pickle=True))
+        params_flat = {k[len("params/"):]: v for k, v in flat.items()
+                       if k.startswith("params/")}
+        from ..api import _unflatten
+        return _unflatten({k: v for k, v in params_flat.items()})
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(path))
+    return state["params"]
+
+
 def resume_or_init(ckpt_dir: str, init_state: Dict[str, Any]):
     """Resume from the latest checkpoint if present, else return
     `init_state`. Returns (state, resumed: bool)."""

@@ -220,3 +220,25 @@ def test_teacher_labels(tmp_path):
     assert labels.shape == (8, 8)
     assert (labels <= 64).all() and (labels >= 0).all()
     assert (labels < 64).sum() >= 1
+
+
+def test_checkpoint_params_to_inference(tmp_path):
+    """Training checkpoint -> inference engine interop."""
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.train.trainer import (TrainConfig,
+                                                        init_train_state)
+    from accelerated_features_tpu.utils import (load_params_from_checkpoint,
+                                                save_checkpoint)
+    from accelerated_features_tpu.api import XFeat
+
+    state = init_train_state(init_xfeat_params(jax.random.key(3)),
+                             TrainConfig())
+    save_checkpoint(str(tmp_path), state, 7)
+    params = load_params_from_checkpoint(str(tmp_path))
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    xf = XFeat(weights=params, top_k=32, detection_threshold=0.012)
+    res = xf.detectAndCompute(np.random.default_rng(0).uniform(
+        0, 1, (64, 64, 3)).astype(np.float32))
+    assert len(res) == 1
