@@ -230,6 +230,25 @@ def color_jitter(key, img, strength=0.15):
     return jnp.clip(img, 0.0, 1.0)
 
 
+def equalize(img):
+    """Per-channel histogram equalization on [0,1] images (torchvision
+    `equalize` analogue; reference RandomEqualize p=0.4,
+    augmentation.py:129)."""
+    def eq_channel(c):
+        v = jnp.clip((c * 255.0), 0, 255).astype(jnp.int32)
+        hist = jnp.zeros((256,), jnp.float32).at[v.reshape(-1)].add(1.0)
+        cdf = jnp.cumsum(hist)
+        n = c.size
+        # torchvision: lut = (cdf - cdf_min) / (n - cdf_min) scaled to 255
+        nonzero = hist > 0
+        cdf_min = jnp.min(jnp.where(nonzero, cdf, jnp.inf))
+        denom = jnp.maximum(n - cdf_min, 1.0)
+        lut = jnp.clip((cdf - cdf_min) / denom, 0.0, 1.0)
+        return lut[v]
+    return jnp.stack([eq_channel(img[..., i])
+                      for i in range(img.shape[-1])], axis=-1)
+
+
 def gaussian_blur7(img, sigma=2.0):
     """7x7 separable gaussian (reference RandomGaussianBlur,
     augmentation.py:130)."""
@@ -269,9 +288,12 @@ def random_shadows(key, shape_hwc, lo=0.25, hi=1.0):
     return jnp.clip(n[0], lo, hi)
 
 
-def photometric_augment(key, img, p_blur=0.3, p_noise=0.5, p_shadow=0.4):
-    k = jax.random.split(key, 6)
+def photometric_augment(key, img, p_blur=0.3, p_noise=0.5, p_shadow=0.4,
+                        p_equalize=0.4):
+    k = jax.random.split(key, 7)
     img = color_jitter(k[0], img)
+    do_eq = jax.random.uniform(k[6], ()) < p_equalize
+    img = jnp.where(do_eq, equalize(img), img)
     do_blur = jax.random.uniform(k[1], ()) < p_blur
     img = jnp.where(do_blur, gaussian_blur7(img), img)
     do_noise = jax.random.uniform(k[2], ()) < p_noise

@@ -161,11 +161,37 @@ def bench_ba(quick):
              "unavailable: single device on this host")
 
 
+def bench_training(quick):
+    import jax
+    import jax.numpy as jnp
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.train.trainer import (TrainConfig,
+                                                        init_train_state,
+                                                        train_step)
+    cfg = TrainConfig(use_distill=False)
+    state = init_train_state(init_xfeat_params(jax.random.key(0)), cfg)
+    rng = np.random.default_rng(0)
+    B, (W, H), M = (4, (256, 192), 256) if quick else (10, (800, 608), 1024)
+    batch = {
+        "image0": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
+        "image1": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
+        "corrs": jnp.asarray(rng.integers(2, H // 8 - 2, (B, M, 4)),
+                             jnp.float32),
+        "corr_valid": jnp.ones((B, M), bool),
+    }
+    f = jax.jit(lambda s, b, r: train_step(s, b, r, cfg))
+
+    def call(s):
+        return f(s, batch, jax.random.key(0))[0]
+    dt = time_call(call, state, iters=5 if quick else 10)
+    emit(f"train_step_per_s_b{B}_{W}x{H}", 1.0 / dt, "steps/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", type=str, default=None,
-                    choices=[None, "extraction", "matching", "ba"])
+                    choices=[None, "extraction", "matching", "ba", "train"])
     args = ap.parse_args()
     if args.only in (None, "extraction"):
         bench_extraction(args.quick)
@@ -173,6 +199,8 @@ def main():
         bench_matching(args.quick)
     if args.only in (None, "ba"):
         bench_ba(args.quick)
+    if args.only in (None, "train"):
+        bench_training(args.quick)
 
 
 if __name__ == "__main__":

@@ -190,3 +190,24 @@ def test_augmented_pair_correspondence_consistency():
         bb = v2[b][p2[keep, 1], p2[keep, 0]]
         errs.append(np.abs(a - bb).mean())
     assert np.mean(errs) < 0.1, errs
+
+
+def test_equalize_parity():
+    """vs torchvision-style equalize on an 8-bit image."""
+    from accelerated_features_tpu.train.augmentation import equalize
+    rng = np.random.default_rng(8)
+    img8 = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    img = img8.astype(np.float32) / 255.0
+
+    # reference formula (torchvision F.equalize)
+    ref = np.empty_like(img)
+    for c in range(3):
+        hist = np.bincount(img8[..., c].reshape(-1), minlength=256)
+        cdf = np.cumsum(hist)
+        cdf_min = cdf[hist > 0].min()
+        denom = max(img8[..., c].size - cdf_min, 1)
+        lut = np.clip((cdf - cdf_min) / denom, 0, 1)
+        ref[..., c] = lut[img8[..., c]]
+
+    got = np.asarray(jax.jit(equalize)(jnp.asarray(img)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
