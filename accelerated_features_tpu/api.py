@@ -285,14 +285,21 @@ class XFeat:
         mk0, mk1, mask = map(np.asarray, (mk0, mk1, mask))
         return np.concatenate([mk0[0][mask[0]], mk1[0][mask[0]]], axis=-1)
 
+    def set_lighterglue(self, weights=None, **kwargs):
+        """Configure the LighterGlue matcher (weights: .npz / torch .pt path
+        or params pytree; reference loads weights/xfeat-lighterglue.pt,
+        lighterglue.py:29-48)."""
+        from .models.lighterglue import LighterGlue
+        self._lighterglue = LighterGlue(weights=weights, **kwargs)
+        return self._lighterglue
+
     def match_lighterglue(self, d0: Dict[str, Any], d1: Dict[str, Any],
                           min_conf: float = 0.1):
         """Attention matching with our LighterGlue (reference
-        xfeat.py:131-162 + lighterglue.py). Requires LighterGlue weights via
-        `set_lighterglue`."""
-        from .models.lighterglue import LighterGlue
+        xfeat.py:131-162 + lighterglue.py). Load trained weights first via
+        `set_lighterglue(weights=...)` (defaults to random init)."""
         if self._lighterglue is None:
-            self._lighterglue = LighterGlue()
+            self.set_lighterglue()
         idx = self._lighterglue.match(d0, d1, min_conf=min_conf)
         k0 = np.asarray(d0["keypoints"])
         k1 = np.asarray(d1["keypoints"])

@@ -171,7 +171,10 @@ def bench_training(quick):
     cfg = TrainConfig(use_distill=False)
     state = init_train_state(init_xfeat_params(jax.random.key(0)), cfg)
     rng = np.random.default_rng(0)
-    B, (W, H), M = (4, (256, 192), 256) if quick else (10, (800, 608), 1024)
+    # full 800x608 reference-config step takes the remote compiler many
+    # minutes; opt in via BENCH_TRAIN_FULL=1
+    full = os.environ.get("BENCH_TRAIN_FULL") == "1" and not quick
+    B, (W, H), M = (10, (800, 608), 1024) if full else (4, (256, 192), 256)
     batch = {
         "image0": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
         "image1": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
