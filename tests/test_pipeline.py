@@ -201,3 +201,30 @@ def test_batched_extraction():
     single = xf.detectAndCompute(x[1])
     np.testing.assert_allclose(res[1]["keypoints"], single[0]["keypoints"],
                                atol=1e-5)
+
+
+def test_detect_parity_high_res(pair):
+    """Same parity contract at a larger, non-square, /32-odd resolution."""
+    ref, ours = pair
+    try:
+        import cv2
+        im = cv2.imread(REF + "/assets/tgt.png")
+        assert im is not None
+        im = cv2.resize(im, (350, 270)).astype(np.float32) / 255.0
+    except Exception:
+        rng = np.random.default_rng(9)
+        base = rng.uniform(0, 1, size=(27, 35, 3))
+        im = np.kron(base, np.ones((10, 10, 1)))[:270, :350].astype(np.float32)
+
+    r = _ref_detect(ref, im, top_k=1024)
+    o = ours.detectAndCompute(im, top_k=1024)[0]
+    rk = r["keypoints"].cpu().numpy()
+    assert rk.shape[0] > 0
+    assert abs(o["keypoints"].shape[0] - rk.shape[0]) <= 0.01 * rk.shape[0] + 2
+    m_ref = _as_map(rk, r["scores"].cpu().numpy(),
+                    r["descriptors"].cpu().numpy())
+    m_our = _as_map(o["keypoints"], o["scores"], o["descriptors"])
+    common = set(m_ref) & set(m_our)
+    assert len(common) >= 0.99 * max(len(m_ref), len(m_our))
+    for key in list(common)[:200]:
+        np.testing.assert_allclose(m_our[key][1], m_ref[key][1], atol=2e-3)
