@@ -174,3 +174,56 @@ def test_megadepth_json_schema():
     from accelerated_features_tpu.eval.megadepth1500 import compute_pose_error
     err = compute_pose_error(p, np.zeros((2, 2)), np.zeros((2, 2)), s0, s1)
     assert err["R_err"] == 180.0
+
+
+@pytest.mark.skipif(not posekit_available(), reason="posekit unavailable")
+def test_run_benchmark_with_images(tmp_path):
+    """Full image-based benchmark path: imread -> resize -> matcher ->
+    RANSAC -> AUC, on a synthetic 2-pair dataset written to disk."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(5)
+    root = tmp_path / "imgs"
+    root.mkdir()
+    pairs = []
+    K = [[600.0, 0, 160], [0, 600.0, 120], [0, 0, 1]]
+    for i in range(2):
+        im = (np.kron(rng.uniform(0, 255, (30, 40, 3)),
+                      np.ones((8, 8, 1))))[:240, :320].astype(np.uint8)
+        cv2.imwrite(str(root / f"a{i}.png"), im)
+        cv2.imwrite(str(root / f"b{i}.png"), im)
+        pairs.append({
+            "K0": K, "K1": K,
+            "T_0to1": np.eye(4).tolist(),
+            "pair_names": [f"a{i}.png", f"b{i}.png"],
+            "size0_hw": [224, 320], "size1_hw": [224, 320],
+            "scale0": [1.0, 240 / 224], "scale1": [1.0, 240 / 224],
+        })
+    import json as _json
+    jpath = tmp_path / "pairs.json"
+    jpath.write_text(_json.dumps(pairs))
+
+    from accelerated_features_tpu.eval.megadepth1500 import run_benchmark
+    from accelerated_features_tpu.api import XFeat
+    xf = XFeat(weights=None, top_k=256, detection_threshold=0.012)
+    summary = run_benchmark(lambda a, b: xf.match_xfeat(a, b),
+                            str(root), str(jpath), progress=False)
+    assert summary["n_pairs"] == 2
+    assert "auc@5" in summary and "mean_matches" in summary
+
+
+def test_torch_pt_file_roundtrip(tmp_path):
+    """XFeat(weights='<file>.pt') loads a saved torch state_dict."""
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from modules.model import XFeatModel
+    torch.manual_seed(1)
+    model = XFeatModel().eval()
+    pt = tmp_path / "xfeat.pt"
+    torch.save(model.state_dict(), str(pt))
+
+    from accelerated_features_tpu.api import XFeat
+    xf = XFeat(weights=str(pt), top_k=64, detection_threshold=0.012)
+    out = xf.detectAndCompute(np.random.default_rng(0).uniform(
+        0, 1, (64, 96, 3)).astype(np.float32))
+    assert len(out) == 1 and out[0]["descriptors"].shape[1] == 64
