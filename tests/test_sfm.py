@@ -273,3 +273,56 @@ def test_triangulate_tracks_and_ba():
 
     Xt = triangulate_tracks(oc, op, uv, n, cams, K)
     np.testing.assert_allclose(Xt, X, atol=1e-3)
+
+
+@pytest.mark.skipif(not posekit_available(), reason="posekit unavailable")
+def test_incremental_slam_synthetic():
+    """Stream a synthetic trajectory through the incremental tracker with an
+    injected geometric front end; keyframes + windowed BA must track the
+    motion (ATE small after scale alignment)."""
+    from accelerated_features_tpu.sfm.slam import IncrementalSlam, SlamConfig
+
+    rng = np.random.default_rng(0)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    X = rng.uniform([-3, -3, 6], [3, 3, 14], (400, 3))
+
+    n_frames = 12
+    gt = np.zeros((n_frames, 6), np.float32)
+    for i in range(n_frames):
+        gt[i, :3] = [0, 0.04 * i, 0]
+        gt[i, 3:] = [0.3 * i, 0.02 * i, 0]
+
+    def frame_features(i):
+        uv = np.stack([np.asarray(project(jnp.asarray(gt[i]),
+                                          jnp.asarray(X[p], jnp.float32),
+                                          jnp.asarray(K, jnp.float32)))
+                       for p in range(len(X))])
+        vis = ((uv[:, 0] > 0) & (uv[:, 0] < 640) &
+               (uv[:, 1] > 0) & (uv[:, 1] < 480))
+        ids = np.nonzero(vis)[0]
+        noise = rng.normal(0, 0.3, (len(ids), 2))
+        return {"keypoints": (uv[ids] + noise).astype(np.float32),
+                "ids": ids}
+
+    feats = [frame_features(i) for i in range(n_frames)]
+    it = iter(range(n_frames))
+
+    def extract(_image):
+        return feats[next(it)]
+
+    def match(d0, d1):
+        common, a_idx, b_idx = np.intersect1d(d0["ids"], d1["ids"],
+                                              return_indices=True)
+        return a_idx, b_idx
+
+    cfg = SlamConfig(kf_min_inliers=10_000, window=4)  # force KF every frame
+    slam = IncrementalSlam(K, cfg, extract=extract, match=match)
+    for i in range(n_frames):
+        out = slam.process_frame(None)
+    traj = slam.trajectory()
+    assert len(traj) >= n_frames - 1
+    assert slam.last_ba_rmse is not None and slam.last_ba_rmse < 2.0
+
+    # monocular scale is free: compare after similarity alignment
+    ate = absolute_trajectory_error(traj, gt[:len(traj)])
+    assert ate < 0.2, ate
