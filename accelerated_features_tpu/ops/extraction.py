@@ -54,9 +54,20 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
     logits = logits.astype(jnp.float32)
 
     kheat = heatmap_decode(logits)                       # (B, H, W)
-    scores_dense = score_map(kheat, heat[..., 0].astype(jnp.float32),
-                             detection_threshold)
-    kpts_i, scores = topk_keypoints(scores_dense, top_k)
+    use_fused = (compute_dtype == jnp.bfloat16
+                 and jax.default_backend() == "tpu"
+                 and H % 16 == 0 and W % 128 == 0)
+    if use_fused:
+        # Pallas fused NMS+score+2x2-reduce kernel (identical keypoint sets;
+        # ordering may differ within ~3e-4 score ties)
+        from .pallas.detect_fused import topk_keypoints_fused
+        kpts_i, scores = topk_keypoints_fused(
+            kheat, heat[..., 0].astype(jnp.float32), top_k,
+            detection_threshold, interpret=False)
+    else:
+        scores_dense = score_map(kheat, heat[..., 0].astype(jnp.float32),
+                                 detection_threshold)
+        kpts_i, scores = topk_keypoints(scores_dense, top_k)
 
     if compute_dtype == jnp.bfloat16:
         # throughput path: bicubic as MXU matmuls (see sample_bicubic_matmul)

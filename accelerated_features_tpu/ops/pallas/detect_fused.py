@@ -1,0 +1,198 @@
+"""Fused keypoint-detection kernel — Pallas TPU.
+
+Fuses the entire sparse-detection post-processing chain for one image into a
+single VMEM-resident kernel (the XLA path materializes ~5 full-res f32 maps
+in HBM and pays a 39 MB tile-transpose before top-k):
+
+  heatmap (H, W)  [XLA heatmap_decode upstream: cheap, and the softmax/
+                   pixel-shuffle lane restructuring is unsupported in vregs]
+  --5x5 separable local-max + threshold--> NMS mask
+  --reliability lerp (two banded matmuls on the MXU)--> rel_up (H, W)
+  --score = heat * rel_up masked to -1--> scores
+  --exact 2x2 tile max + winner index--> best (H/2, W/2), sub (H/2, W/2)
+
+Only `best` and `sub` (1/4-res) leave the kernel; the host-side finisher is
+one `top_k` over H*W/4 plus cheap index math. Semantics identical to
+ops.detect.score_map + topk_keypoints (verified in tests).
+
+VMEM budget: all per-image buffers at VGA ~ 6 MB < 16 MB, so the grid is
+simply (batch,).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from ..detect import score_map as _score_map_xla
+from ..detect import topk_keypoints as _topk_xla
+
+
+def _lerp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Banded matrix M (in, out): out = src @ M equals the reference's
+    grid_sample-style bilinear upsample (align_corners=False positions with
+    (out-1) normalization, zeros padding)."""
+    i = np.arange(out_size, dtype=np.float64)
+    src = i * (in_size / (out_size - 1)) - 0.5
+    i0 = np.floor(src).astype(int)
+    t = src - i0
+    M = np.zeros((in_size, out_size), np.float32)
+    for j in range(out_size):
+        if 0 <= i0[j] < in_size:
+            M[i0[j], j] += 1 - t[j]
+        if 0 <= i0[j] + 1 < in_size:
+            M[i0[j] + 1, j] += t[j]
+    return M
+
+
+def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
+                   mc_ref, best_ref, sub_ref):
+    H, W = heat_ref.shape[1:]
+    h, w = rel_ref.shape[1:]
+    thr = thr_smem[0, 0]
+    heat = heat_ref[0]
+
+    # 5x5 separable local max via shifted maxima (zeros outside)
+    def shift_max_axis(x, axis):
+        out = x
+        for s in (1, 2):
+            pad_lo = [(0, 0), (0, 0)]
+            pad_hi = [(0, 0), (0, 0)]
+            pad_lo[axis] = (s, 0)
+            pad_hi[axis] = (0, s)
+            size = x.shape
+            lo = jax.lax.pad(
+                jax.lax.slice_in_dim(x, 0, size[axis] - s, axis=axis),
+                -jnp.inf, [(s, 0, 0) if a == axis else (0, 0, 0)
+                           for a in range(2)])
+            hi = jax.lax.pad(
+                jax.lax.slice_in_dim(x, s, size[axis], axis=axis),
+                -jnp.inf, [(0, s, 0) if a == axis else (0, 0, 0)
+                           for a in range(2)])
+            out = jnp.maximum(out, jnp.maximum(lo, hi))
+        return out
+
+    lmax = shift_max_axis(shift_max_axis(heat, 1), 0)
+    is_max = (heat >= lmax) & (heat > thr)
+
+    # reliability upsample: two banded matmuls on the MXU
+    rel = rel_ref[0]                                  # (h, w)
+    rel_w = jax.lax.dot_general(rel, mw_ref[:],        # (h, W)
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    rel_up = jax.lax.dot_general(mh_ref[:], rel_w,     # (H, W)
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    # nearest-sampling border kill (last row/col), padding kill at (0,0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    border = (col_ids == W - 1) | (row_ids == H - 1)
+    origin = (col_ids == 0) & (row_ids == 0)
+    scores = jnp.where(is_max & ~border, heat * rel_up, -1.0)
+    scores = jnp.where(origin, -1.0, scores)
+
+    # exact 2x2 tile reduction, stride-free (5x5 NMS spacing guarantee):
+    # rows via a major-dim reshape + slice; columns via a lane roll and a
+    # one-hot compaction matmul (mc_ref: (W, W/2) selecting even lanes)
+    s2 = scores.reshape(H // 2, 2, W)
+    r0 = s2[:, 0, :]
+    r1 = s2[:, 1, :]
+    rowmax = jnp.maximum(r0, r1)
+    is_bottom = (r1 > r0).astype(jnp.float32)
+
+    # circular left-shift by one lane (roll by W-1; the wrapped value only
+    # lands in odd columns, which the compaction never selects)
+    sh = pltpu.roll(rowmax, W - 1, 1)
+    is_right = (sh > rowmax).astype(jnp.float32)
+    pairmax = jnp.maximum(rowmax, sh)
+    bottom_right = pltpu.roll(is_bottom, W - 1, 1)
+    chosen_bottom = jnp.where(is_right > 0, bottom_right, is_bottom)
+    sub_f = chosen_bottom * 2.0 + is_right
+
+    def compact(x):
+        return jax.lax.dot_general(x, mc_ref[:], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    best_ref[0] = compact(pairmax)
+    sub_ref[0] = compact(sub_f).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _detect_call(kheat, rel, mw, mh, mc, thr, interpret=False):
+    b, H, W = kheat.shape
+    h, w = rel.shape[1:]
+    return pl.pallas_call(
+        _detect_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, W // 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H // 2, W // 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H // 2, W // 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.int32),
+        ),
+        interpret=interpret,
+    )(thr, kheat, rel, mw, mh, mc)
+
+
+def detect_scores_fused(kheat: jax.Array, reliability: jax.Array,
+                        detection_threshold: float = 0.05,
+                        interpret=None) -> Tuple[jax.Array, jax.Array]:
+    """(B,H,W) decoded heatmap + (B,h,w) reliability -> 2x2-reduced score
+    map (B,H/2,W/2) and per-tile winner index (B,H/2,W/2)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, H, W = kheat.shape
+    h, w = reliability.shape[1:]
+    mw = jnp.asarray(_lerp_matrix(w, W))
+    mh = jnp.asarray(_lerp_matrix(h, H))
+    mc = np.zeros((W, W // 2), np.float32)
+    mc[np.arange(0, W, 2), np.arange(W // 2)] = 1.0
+    thr = jnp.full((1, 1), detection_threshold, jnp.float32)
+    return _detect_call(kheat.astype(jnp.float32),
+                        reliability.astype(jnp.float32), mw, mh,
+                        jnp.asarray(mc), thr, interpret=interpret)
+
+
+def topk_keypoints_fused(kheat: jax.Array, reliability: jax.Array,
+                         top_k: int, detection_threshold: float = 0.05,
+                         interpret=None) -> Tuple[jax.Array, jax.Array]:
+    """Fused replacement for score_map + topk_keypoints (feed it the
+    heatmap_decode output). Returns ((B,K,2) int xy, (B,K) scores), same
+    contract as ops.detect.topk_keypoints."""
+    best, sub = detect_scores_fused(kheat, reliability,
+                                    detection_threshold, interpret)
+    b, h2, w2 = best.shape
+    scores, idx = jax.lax.top_k(best.reshape(b, -1), top_k)
+    sub_sel = jnp.take_along_axis(sub.reshape(b, -1), idx, axis=1)
+    ty = idx // w2
+    tx = idx % w2
+    ys = (ty * 2 + sub_sel // 2).astype(jnp.int32)
+    xs = (tx * 2 + sub_sel % 2).astype(jnp.int32)
+    return jnp.stack([xs, ys], axis=-1), scores

@@ -52,3 +52,25 @@ def test_flash_padding_invariance():
     mask = jnp.asarray(np.arange(nk + pad)[None] < nk)
     got = np.asarray(flash_attention(q, k2, v2, mask))
     np.testing.assert_allclose(got, base, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_detect_matches_xla():
+    """Fused detection kernel (interpret mode) == XLA score_map + topk."""
+    from accelerated_features_tpu.ops.detect import (heatmap_decode,
+                                                     score_map,
+                                                     topk_keypoints)
+    from accelerated_features_tpu.ops.pallas.detect_fused import (
+        topk_keypoints_fused)
+    rng = np.random.default_rng(3)
+    B, h, w = 2, 8, 16
+    logits = jnp.asarray(rng.normal(size=(B, h, w, 65)).astype(np.float32)) * 3
+    rel = jnp.asarray(rng.uniform(0.1, 1, (B, h, w)).astype(np.float32))
+    kheat = heatmap_decode(logits)
+    k_ref, s_ref = topk_keypoints(score_map(kheat, rel, 0.012), 96)
+    k_f, s_f = topk_keypoints_fused(kheat, rel, 96, 0.012)
+    k_ref, s_ref, k_f, s_f = map(np.asarray, (k_ref, s_ref, k_f, s_f))
+    for b in range(B):
+        v = s_ref[b] > 0
+        assert (s_f[b] > 0).sum() == v.sum()
+        np.testing.assert_allclose(s_f[b][:v.sum()], s_ref[b][v], atol=1e-5)
+        np.testing.assert_array_equal(k_f[b][:v.sum()], k_ref[b][v])
