@@ -35,10 +35,6 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
-from ..detect import score_map as _score_map_xla
-from ..detect import topk_keypoints as _topk_xla
-
-
 def _lerp_matrix(in_size: int, out_size: int) -> np.ndarray:
     """Banded matrix M (in, out): out = src @ M equals the reference's
     grid_sample-style bilinear upsample (align_corners=False positions with
@@ -63,14 +59,10 @@ def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
     thr = thr_smem[0, 0]
     heat = heat_ref[0]
 
-    # 5x5 separable local max via shifted maxima (zeros outside)
+    # 5x5 separable local max via shifted maxima (-inf outside)
     def shift_max_axis(x, axis):
         out = x
         for s in (1, 2):
-            pad_lo = [(0, 0), (0, 0)]
-            pad_hi = [(0, 0), (0, 0)]
-            pad_lo[axis] = (s, 0)
-            pad_hi[axis] = (0, s)
             size = x.shape
             lo = jax.lax.pad(
                 jax.lax.slice_in_dim(x, 0, size[axis] - s, axis=axis),
