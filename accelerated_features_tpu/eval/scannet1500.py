@@ -104,7 +104,12 @@ def run_threshold_sweep(matches, gt: List[dict], thresholds=THRESHOLDS,
         jobs = [(m[0], m[1], g["K"], g["T_0to1"], thr)
                 for m, g in zip(matches, gt)]
         if workers > 1:
-            with ProcessPoolExecutor(max_workers=workers) as ex:
+            # spawn (not fork): the parent may hold a live TPU client, and
+            # spawned workers only need numpy + the ctypes posekit library
+            import multiprocessing as mp
+            with ProcessPoolExecutor(
+                    max_workers=workers,
+                    mp_context=mp.get_context("spawn")) as ex:
                 pose_errs = list(ex.map(_pose_error_one, jobs,
                                         chunksize=16))
         else:
