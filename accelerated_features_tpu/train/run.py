@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import time
 from typing import Dict, Iterator, Optional
 
@@ -155,8 +156,18 @@ def main():
         print(f"[resume] from step {start_step}")
 
     n_dev = len(jax.devices())
-    mesh_shape = args.mesh or (n_dev, 1)
-    mesh = make_mesh(mesh_shape)
+    if args.mesh:
+        mesh_shape = args.mesh
+    else:
+        # data axis must divide the batch: largest divisor of batch <= n_dev
+        data_ax = max(d for d in range(1, n_dev + 1)
+                      if args.batch_size % d == 0 and n_dev % d == 0)
+        mesh_shape = (data_ax, 1)
+        if data_ax < n_dev:
+            print(f"[mesh] using {data_ax} of {n_dev} devices on the data "
+                  f"axis (batch {args.batch_size}); pass --mesh to override")
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[
+        :mesh_shape[0] * mesh_shape[1]])
 
     # data sources
     use_synth = args.training_type in ("xfeat_default", "xfeat_synthetic")
@@ -203,6 +214,18 @@ def main():
             batch["distill_labels1"] = teacher_fn(batch["image1"])
         return batch
 
+    # preemption safety: on SIGTERM/SIGINT, checkpoint at the next step
+    # boundary and exit cleanly (TPU pods are frequently preemptible; the
+    # reference has no recovery story at all, train.py:271-273)
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"[signal {signum}] checkpoint-and-exit requested")
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
     example = prepare(get_batch())
     with mesh:
         step_fn, state_sh, shard_batch = make_sharded_train_step(
@@ -218,10 +241,14 @@ def main():
                 continue
             state_sh, metrics = step_fn(state_sh, shard_batch(batch),
                                         jax.random.key(i))
-            if (i + 1) % args.save_ckpt_every == 0:
+            if (i + 1) % args.save_ckpt_every == 0 or stop_requested["flag"]:
                 path = save_checkpoint(args.ckpt_save_path,
                                        jax.device_get(state_sh), i + 1)
                 print(f"[ckpt] step {i + 1} -> {path}")
+            if stop_requested["flag"]:
+                print(f"[preempt] state saved at step {i + 1}; exiting "
+                      "(resume with the same --ckpt_save_path)")
+                return
             if (i + 1) % 10 == 0 or args.dry_run:
                 m = {k: float(v) for k, v in metrics.items()}
                 rate = (i + 1 - start_step) / (time.time() - t0)

@@ -195,7 +195,13 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", type=str, default=None,
                     choices=[None, "extraction", "matching", "ba", "train"])
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler trace (XProf/TensorBoard) of "
+                         "the benchmarked programs to this directory")
     args = ap.parse_args()
+    if args.trace:
+        import jax
+        jax.profiler.start_trace(args.trace)
     if args.only in (None, "extraction"):
         bench_extraction(args.quick)
     if args.only in (None, "matching"):
@@ -204,6 +210,10 @@ def main():
         bench_ba(args.quick)
     if args.only in (None, "train"):
         bench_training(args.quick)
+    if args.trace:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"# trace written to {args.trace}", file=sys.stderr)
 
 
 if __name__ == "__main__":
