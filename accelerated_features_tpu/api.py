@@ -288,18 +288,31 @@ class XFeat:
     def set_lighterglue(self, weights=None, **kwargs):
         """Configure the LighterGlue matcher (weights: .npz / torch .pt path
         or params pytree; reference loads weights/xfeat-lighterglue.pt,
-        lighterglue.py:29-48)."""
+        lighterglue.py:29-48). Calling with weights=None is an explicit
+        opt-in to random weights (smoke tests only) and warns."""
         from .models.lighterglue import LighterGlue
+        if weights is None:
+            import warnings
+            warnings.warn("LighterGlue initialized with RANDOM weights — "
+                          "matches will be arbitrary. Pass weights=... for "
+                          "real use.", stacklevel=2)
         self._lighterglue = LighterGlue(weights=weights, **kwargs)
         return self._lighterglue
 
     def match_lighterglue(self, d0: Dict[str, Any], d1: Dict[str, Any],
                           min_conf: float = 0.1):
         """Attention matching with our LighterGlue (reference
-        xfeat.py:131-162 + lighterglue.py). Load trained weights first via
-        `set_lighterglue(weights=...)` (defaults to random init)."""
+        xfeat.py:131-162 + lighterglue.py). Trained weights must be loaded
+        first via `set_lighterglue(weights=...)`; the reference likewise
+        refuses to run without its checkpoint (it downloads one,
+        lighterglue.py:34-38 — no egress here, so we hard-fail instead of
+        silently matching with random weights)."""
         if self._lighterglue is None:
-            self.set_lighterglue()
+            raise RuntimeError(
+                "LighterGlue weights are not loaded. Call "
+                "xfeat.set_lighterglue(weights=<path-or-state-dict>) first "
+                "(or set_lighterglue() explicitly to opt into random "
+                "weights for smoke testing).")
         idx = self._lighterglue.match(d0, d1, min_conf=min_conf)
         k0 = np.asarray(d0["keypoints"])
         k1 = np.asarray(d1["keypoints"])

@@ -127,10 +127,12 @@ def run_benchmark_precomputed(matches: List[Tuple[np.ndarray, np.ndarray]],
     return pose_errors_to_summary(errors)
 
 
-def make_matcher(name: str, top_k: int = 4096, weights: Optional[str] = None
-                 ) -> MatcherFn:
+def make_matcher(name: str, top_k: int = 4096, weights: Optional[str] = None,
+                 lg_weights: Optional[str] = None) -> MatcherFn:
     """Matcher registry mirroring the reference CLI choices
-    (megadepth1500.py:250-274): xfeat | xfeat-star | xfeat-lighterglue."""
+    (megadepth1500.py:250-274): xfeat | xfeat-star | xfeat-lighterglue.
+    `lg_weights` loads the LighterGlue checkpoint (required for meaningful
+    xfeat-lighterglue numbers; None opts into random weights with a warning)."""
     from ..api import XFeat
     xf = XFeat(weights=weights, top_k=top_k)
     if name == "xfeat":
@@ -138,6 +140,7 @@ def make_matcher(name: str, top_k: int = 4096, weights: Optional[str] = None
     if name == "xfeat-star":
         return lambda im0, im1: xf.match_xfeat_star(im0, im1)
     if name == "xfeat-lighterglue":
+        xf.set_lighterglue(weights=lg_weights)
         def fn(im0, im1):
             d0 = xf.detectAndCompute(im0)[0]
             d1 = xf.detectAndCompute(im1)[0]
@@ -157,12 +160,16 @@ def main():
     ap.add_argument("--matcher", type=str, default="xfeat",
                     choices=["xfeat", "xfeat-star", "xfeat-lighterglue"])
     ap.add_argument("--weights", type=str, default=None)
+    ap.add_argument("--lg_weights", type=str, default=None,
+                    help="LighterGlue checkpoint (.pt/.npz) for the "
+                         "xfeat-lighterglue matcher")
     ap.add_argument("--top_k", type=int, default=4096)
     ap.add_argument("--ransac_thr", type=float, default=2.5)
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()
 
-    fn = make_matcher(args.matcher, args.top_k, args.weights)
+    fn = make_matcher(args.matcher, args.top_k, args.weights,
+                      lg_weights=args.lg_weights)
     summary = run_benchmark(fn, args.data_root, args.json, args.ransac_thr,
                             args.limit)
     print(json.dumps(summary, indent=2))

@@ -61,7 +61,7 @@ def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
     import cv2
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path, allow_pickle=True)
-        return list(data["matches"])
+        return [tuple(m) for m in data["matches"]]
     out = []
     it = pairs
     if progress:
@@ -78,8 +78,13 @@ def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
         mk0, mk1 = matcher_fn(im0, im1)
         out.append((np.asarray(mk0), np.asarray(mk1)))
     if cache_path:
-        np.savez_compressed(cache_path,
-                            matches=np.asarray(out, dtype=object))
+        # build the object array explicitly: np.asarray(out, dtype=object)
+        # on homogeneous-shape match lists produces a 4-D numeric-style
+        # object array that doesn't round-trip as a list of pairs
+        arr = np.empty(len(out), dtype=object)
+        for i, m in enumerate(out):
+            arr[i] = m
+        np.savez_compressed(cache_path, matches=arr)
     return out
 
 
@@ -96,24 +101,38 @@ def _pose_error_one(args):
 
 
 def run_threshold_sweep(matches, gt: List[dict], thresholds=THRESHOLDS,
-                        workers: int = 0) -> Dict[str, Dict[str, float]]:
+                        workers: int = 0,
+                        cache_dir: Optional[str] = None
+                        ) -> Dict[str, Dict[str, float]]:
     """Evaluate every RANSAC threshold; reference sweeps and reports the
-    best-mean threshold (scannet1500.py:258-311)."""
+    best-mean threshold (scannet1500.py:258-311). With `cache_dir`,
+    per-threshold pose-error files are cached so interrupted sweeps resume
+    incrementally (reference scannet1500.py:242-251)."""
     results = {}
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
     for thr in thresholds:
-        jobs = [(m[0], m[1], g["K"], g["T_0to1"], thr)
-                for m, g in zip(matches, gt)]
-        if workers > 1:
-            # spawn (not fork): the parent may hold a live TPU client, and
-            # spawned workers only need numpy + the ctypes posekit library
-            import multiprocessing as mp
-            with ProcessPoolExecutor(
-                    max_workers=workers,
-                    mp_context=mp.get_context("spawn")) as ex:
-                pose_errs = list(ex.map(_pose_error_one, jobs,
-                                        chunksize=16))
+        err_path = (os.path.join(cache_dir, f"errors_thr_{thr:g}.npy")
+                    if cache_dir else None)
+        if err_path and os.path.exists(err_path):
+            pose_errs = np.load(err_path).tolist()
         else:
-            pose_errs = [_pose_error_one(j) for j in jobs]
+            jobs = [(m[0], m[1], g["K"], g["T_0to1"], thr)
+                    for m, g in zip(matches, gt)]
+            if workers > 1:
+                # spawn (not fork): the parent may hold a live TPU client,
+                # and spawned workers only need numpy + the ctypes posekit
+                # library
+                import multiprocessing as mp
+                with ProcessPoolExecutor(
+                        max_workers=workers,
+                        mp_context=mp.get_context("spawn")) as ex:
+                    pose_errs = list(ex.map(_pose_error_one, jobs,
+                                            chunksize=16))
+            else:
+                pose_errs = [_pose_error_one(j) for j in jobs]
+            if err_path:
+                np.save(err_path, np.asarray(pose_errs, np.float64))
         errors = [{"R_err": e, "t_err": e} for e in pose_errs]
         results[f"thr_{thr}"] = pose_errors_to_summary(errors)
     return results
@@ -130,7 +149,9 @@ def best_result(sweep: Dict[str, Dict[str, float]]) -> Dict[str, float]:
 
 def run_benchmark(matcher_fn, data_root: str, npz_path: str,
                   cache_path: Optional[str] = None,
-                  workers: int = 0) -> Dict[str, float]:
+                  workers: int = 0,
+                  cache_dir: Optional[str] = None,
+                  summary_path: Optional[str] = None) -> Dict[str, float]:
     pairs = load_pair_list(npz_path)
     matches = extract_matches(matcher_fn, data_root, pairs, cache_path)
     gt = []
@@ -139,27 +160,77 @@ def run_benchmark(matcher_fn, data_root: str, npz_path: str,
         T = rel_pose_0to1(read_pose(os.path.join(data_root, pair["pose0"])),
                           read_pose(os.path.join(data_root, pair["pose1"])))
         gt.append({"K": K, "T_0to1": T})
-    sweep = run_threshold_sweep(matches, gt, workers=workers)
-    return best_result(sweep)
+    sweep = run_threshold_sweep(matches, gt, workers=workers,
+                                cache_dir=cache_dir)
+    best = best_result(sweep)
+    if summary_path:
+        with open(summary_path, "w") as f:
+            json.dump({"sweep": sweep, "best": best}, f, indent=2)
+    return best
+
+
+def report(summary_paths: List[str], metric_keys=("auc@5", "auc@10",
+                                                  "auc@20", "mAcc")):
+    """Pandas summary table over saved sweep JSONs — the reference's
+    `--show` reporter (scannet1500.py:293-452). Rows = (run, threshold),
+    plus a 'best' row per run; returns the DataFrame (also printed)."""
+    import pandas as pd
+    rows = []
+    for path in summary_paths:
+        with open(path) as f:
+            data = json.load(f)
+        run = os.path.splitext(os.path.basename(path))[0]
+        for key, summ in data.get("sweep", {}).items():
+            rows.append({"run": run, "threshold": float(key.split("_")[1]),
+                         **{k: summ.get(k) for k in metric_keys}})
+        best = data.get("best")
+        if best:
+            rows.append({"run": run,
+                         "threshold": best.get("best_threshold"),
+                         "best": True,
+                         **{k: best.get(k) for k in metric_keys}})
+    df = pd.DataFrame(rows)
+    if not df.empty:
+        df = df.sort_values(["run", "threshold"]).reset_index(drop=True)
+    print(df.to_string(index=False))
+    return df
 
 
 def main():
     ap = argparse.ArgumentParser(description="ScanNet-1500 pose benchmark")
-    ap.add_argument("--data_root", type=str, required=True)
-    ap.add_argument("--npz", type=str, required=True,
+    ap.add_argument("--show", nargs="*", default=None,
+                    help="print a pandas summary table over saved sweep "
+                         "JSONs instead of running the benchmark")
+    ap.add_argument("--data_root", type=str, default=None)
+    ap.add_argument("--npz", type=str, default=None,
                     help="LoFTR test.npz pair list")
     ap.add_argument("--matcher", type=str, default="xfeat",
                     choices=["xfeat", "xfeat-star", "xfeat-lighterglue"])
     ap.add_argument("--weights", type=str, default=None)
+    ap.add_argument("--lg_weights", type=str, default=None,
+                    help="LighterGlue checkpoint (.pt/.npz) for the "
+                         "xfeat-lighterglue matcher")
     ap.add_argument("--top_k", type=int, default=4096)
     ap.add_argument("--cache", type=str, default=None)
+    ap.add_argument("--cache_dir", type=str, default=None,
+                    help="per-threshold pose-error cache directory")
+    ap.add_argument("--out", type=str, default=None,
+                    help="write the full sweep + best summary JSON here")
     ap.add_argument("--workers", type=int, default=os.cpu_count())
     args = ap.parse_args()
 
+    if args.show is not None:
+        report(args.show)
+        return
+    if not args.data_root or not args.npz:
+        ap.error("--data_root and --npz are required unless --show is given")
+
     from .megadepth1500 import make_matcher
-    fn = make_matcher(args.matcher, args.top_k, args.weights)
+    fn = make_matcher(args.matcher, args.top_k, args.weights,
+                      lg_weights=args.lg_weights)
     print(json.dumps(run_benchmark(fn, args.data_root, args.npz, args.cache,
-                                   args.workers), indent=2))
+                                   args.workers, cache_dir=args.cache_dir,
+                                   summary_path=args.out), indent=2))
 
 
 if __name__ == "__main__":

@@ -119,6 +119,29 @@ def _lin(sd, prefix):
     return out
 
 
+def _qkv_row_perm(dim: int, heads: int) -> np.ndarray:
+    """Row permutation mapping the official/kornia fused Wqkv packing to our
+    chunked [q | k | v] layout.
+
+    The official LightGlue SelfBlock does
+    `qkv.unflatten(-1, (num_heads, -1, 3))` before `q, k, v = qkv[..., 0],
+    qkv[..., 1], qkv[..., 2]` — i.e. output row o of Wqkv encodes
+    (head h = o // (3*hd), feature d = (o % (3*hd)) // 3, which = o % 3)
+    with q/k/v INTERLEAVED per scalar feature, not chunked. Our forward
+    splits the projection into contiguous thirds, so the import permutes
+    rows accordingly (verified against the independent HuggingFace
+    LightGlue port in tests/test_lighterglue_oracle.py)."""
+    hd = dim // heads
+    out = np.empty(3 * dim, np.int64)
+    t = 0
+    for which in range(3):
+        for h in range(heads):
+            for d in range(hd):
+                out[t] = h * 3 * hd + d * 3 + which
+                t += 1
+    return out
+
+
 def import_lighterglue_state_dict(sd: Dict[str, Any],
                                   conf: Dict[str, Any] = DEFAULT_CONF):
     """Convert a torch LightGlue state_dict (kornia layout, with the
@@ -142,12 +165,16 @@ def import_lighterglue_state_dict(sd: Dict[str, Any],
         "assignments": [],
         "token_confidence": [],
     }
+    dim = conf["descriptor_dim"]
+    perm = _qkv_row_perm(dim, conf["num_heads"])
     for i in range(conf["n_layers"]):
         s = f"transformers.{i}.self_attn"
         c = f"transformers.{i}.cross_attn"
+        qkv = _lin(sd, s + ".Wqkv")
+        qkv = {"w": qkv["w"][:, perm], "b": qkv["b"][perm]}
         params["layers"].append({
             "self": {
-                "qkv": _lin(sd, s + ".Wqkv"),
+                "qkv": qkv,
                 "out": _lin(sd, s + ".out_proj"),
                 "ffn0": _lin(sd, s + ".ffn.0"),
                 "ln": {"w": _t(sd, s + ".ffn.1.weight"),

@@ -155,27 +155,32 @@ def main():
     if resumed:
         print(f"[resume] from step {start_step}")
 
-    n_dev = len(jax.devices())
-    if args.mesh:
-        mesh_shape = args.mesh
-    else:
-        # data axis must divide the batch: largest divisor of batch <= n_dev
-        data_ax = max(d for d in range(1, n_dev + 1)
-                      if args.batch_size % d == 0 and n_dev % d == 0)
-        mesh_shape = (data_ax, 1)
-        if data_ax < n_dev:
-            print(f"[mesh] using {data_ax} of {n_dev} devices on the data "
-                  f"axis (batch {args.batch_size}); pass --mesh to override")
-    mesh = make_mesh(mesh_shape, devices=jax.devices()[
-        :mesh_shape[0] * mesh_shape[1]])
-
-    # data sources
+    # data sources. The per-source sizes are fixed FIRST so the mesh data
+    # axis can be derived from the batch that actually reaches the step:
+    # in the 40/60 split int(0.4B)+int(0.6B) != B for e.g. B=7, and sharding
+    # by B would shape-error at step time.
     use_synth = args.training_type in ("xfeat_default", "xfeat_synthetic")
     use_md = args.training_type in ("xfeat_default", "xfeat_megadepth")
     bs_synth = int(args.batch_size * 0.4) if args.training_type == \
         "xfeat_default" else args.batch_size
     bs_md = int(args.batch_size * 0.6) if args.training_type == \
         "xfeat_default" else args.batch_size
+    eff_batch = (bs_synth + bs_md) if args.training_type == "xfeat_default" \
+        else args.batch_size
+
+    n_dev = len(jax.devices())
+    if args.mesh:
+        mesh_shape = args.mesh
+    else:
+        # data axis must divide the batch: largest divisor of batch <= n_dev
+        data_ax = max(d for d in range(1, n_dev + 1)
+                      if eff_batch % d == 0 and n_dev % d == 0)
+        mesh_shape = (data_ax, 1)
+        if data_ax < n_dev:
+            print(f"[mesh] using {data_ax} of {n_dev} devices on the data "
+                  f"axis (batch {eff_batch}); pass --mesh to override")
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[
+        :mesh_shape[0] * mesh_shape[1]])
 
     synth = md = None
     if not args.dry_run:
@@ -192,8 +197,7 @@ def main():
                                 (args.training_res[0], args.training_res[1])),
                 args.max_corrs)
     if args.dry_run or (synth is None and md is None):
-        total_bs = args.batch_size
-        fixed = dry_run_batch(total_bs, args.training_res, args.max_corrs)
+        fixed = dry_run_batch(eff_batch, args.training_res, args.max_corrs)
         get_batch = lambda: fixed
         n_steps = min(args.n_steps, 10) if args.dry_run else args.n_steps
     else:

@@ -11,6 +11,9 @@ from accelerated_features_tpu import XFeat
 im0 = cv2.imread("/root/reference/assets/ref.png")
 im1 = cv2.imread("/root/reference/assets/tgt.png")
 xfeat = XFeat(weights=None, top_k=2048, detection_threshold=0.012)
+# explicit opt-in to random LighterGlue weights (smoke test only; pass
+# weights=... here for real matching)
+xfeat.set_lighterglue()
 d0 = xfeat.detectAndCompute(im0)[0]
 d1 = xfeat.detectAndCompute(im1)[0]
 d0["image_size"] = (im0.shape[1], im0.shape[0])

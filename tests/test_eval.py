@@ -227,3 +227,82 @@ def test_torch_pt_file_roundtrip(tmp_path):
     out = xf.detectAndCompute(np.random.default_rng(0).uniform(
         0, 1, (64, 96, 3)).astype(np.float32))
     assert len(out) == 1 and out[0]["descriptors"].shape[1] == 64
+
+
+@pytest.mark.skipif(not posekit_available(), reason="posekit unavailable")
+def test_scannet_error_cache_and_reporter(tmp_path):
+    """Per-threshold error files make re-sweeps incremental (reference
+    scannet1500.py:242-251) and the pandas reporter summarizes saved
+    sweeps (scannet1500.py:293-452)."""
+    import json
+    from accelerated_features_tpu.eval.scannet1500 import (
+        best_result, report, run_threshold_sweep)
+
+    rng = np.random.default_rng(3)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    t = np.array([1.0, 0, 0])
+    X = rng.uniform([-2, -2, 4], [2, 2, 8], (100, 3))
+    p0 = (K @ (X / X[:, 2:]).T).T[:, :2]
+    x1 = X + t
+    p1 = (K @ (x1 / x1[:, 2:]).T).T[:, :2]
+    T = np.eye(4)
+    T[:3, 3] = t
+    gt = [{"K": K, "T_0to1": T}]
+    cache = tmp_path / "errs"
+    s1 = run_threshold_sweep([(p0, p1)], gt, thresholds=[1.0, 2.0],
+                             cache_dir=str(cache))
+    assert (cache / "errors_thr_1.npy").exists()
+    assert (cache / "errors_thr_2.npy").exists()
+    # second run must reuse the cached errors (poison the matches: if the
+    # sweep recomputed, results would change)
+    s2 = run_threshold_sweep([(p0, p1 + 50.0)], gt, thresholds=[1.0, 2.0],
+                             cache_dir=str(cache))
+    assert s1 == s2
+
+    summ = tmp_path / "run_a.json"
+    with open(summ, "w") as f:
+        json.dump({"sweep": s1, "best": best_result(s1)}, f)
+    df = report([str(summ)])
+    assert len(df) == 3  # 2 thresholds + best row
+    assert set(df["run"]) == {"run_a"}
+
+
+def test_scannet_match_cache_roundtrip(tmp_path):
+    """Homogeneous-shape match lists survive the npz cache (object array
+    construction edge case)."""
+    from accelerated_features_tpu.eval.scannet1500 import extract_matches
+
+    calls = {"n": 0}
+    k = np.arange(10, dtype=np.float32).reshape(5, 2)
+
+    def fake_matcher(im0, im1):
+        calls["n"] += 1
+        return k, k + 1
+
+    import cv2
+    img = (np.ones((32, 32, 3)) * 128).astype(np.uint8)
+    for name in ("a.jpg", "b.jpg"):
+        cv2.imwrite(str(tmp_path / name), img)
+    pairs = [{"im0": "a.jpg", "im1": "b.jpg"},
+             {"im0": "b.jpg", "im1": "a.jpg"}]
+    cache = str(tmp_path / "cache.npz")
+    m1 = extract_matches(fake_matcher, str(tmp_path), pairs, cache,
+                         progress=False)
+    m2 = extract_matches(fake_matcher, str(tmp_path), pairs, cache,
+                         progress=False)
+    assert calls["n"] == 2  # second call served from cache
+    for (a0, a1), (b0, b1) in zip(m1, m2):
+        np.testing.assert_allclose(a0, b0)
+        np.testing.assert_allclose(a1, b1)
+
+
+def test_match_lighterglue_requires_weights():
+    """Silent random-weight matching is an error now (the reference
+    hard-requires its checkpoint, lighterglue.py:34-38)."""
+    from accelerated_features_tpu.api import XFeat
+    xf = XFeat(weights=None, top_k=64)
+    d = {"keypoints": np.zeros((4, 2), np.float32),
+         "descriptors": np.zeros((4, 64), np.float32),
+         "image_size": (64, 64)}
+    with pytest.raises(RuntimeError, match="set_lighterglue"):
+        xf.match_lighterglue(d, d)

@@ -242,3 +242,104 @@ def test_checkpoint_params_to_inference(tmp_path):
     res = xf.detectAndCompute(np.random.default_rng(0).uniform(
         0, 1, (64, 64, 3)).astype(np.float32))
     assert len(res) == 1
+
+
+def test_smooth_l1_loss_parity(ref_losses):
+    from accelerated_features_tpu.train.losses import smooth_l1_loss
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(37, 2)).astype(np.float32) * 4
+    t = rng.normal(size=(37, 2)).astype(np.float32) * 4
+    ref = float(ref_losses.smooth_l1_loss(torch.from_numpy(x),
+                                          torch.from_numpy(t)))
+    ours = float(jax.jit(smooth_l1_loss)(jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+    # masked version == compact version
+    pad = np.zeros((11, 2), np.float32)
+    v = np.arange(48) < 37
+    ours_m = float(jax.jit(smooth_l1_loss)(
+        jnp.asarray(np.concatenate([x, pad])),
+        jnp.asarray(np.concatenate([t, pad + 7])), 2.0,
+        jnp.asarray(v)))
+    np.testing.assert_allclose(ours_m, ref, rtol=1e-5)
+
+
+def test_keypoint_position_loss_parity(ref_losses):
+    """Teacher-free keypoint supervision == reference losses.py:111-168."""
+    from accelerated_features_tpu.train.losses import keypoint_position_loss
+    rng = np.random.default_rng(6)
+    h, w, C = 8, 10, 65
+    H, W = h * 8, w * 8
+    logits1 = rng.normal(size=(h, w, C)).astype(np.float32)
+    logits2 = rng.normal(size=(h, w, C)).astype(np.float32)
+    # the reference formula indexes the hashmap out of bounds when a
+    # last-row cell's argmax is the dustbin (off//8 == 8) -> keep the
+    # oracle runnable by suppressing the dustbin in the last row
+    logits1[-1, :, 64] -= 100.0
+
+    m = 40
+    # one correspondence per unique view-1 cell, placed AT the cell's argmax
+    # position (the loss only supervises cells whose argmax hits a stored
+    # correspondence; random placement would give zero hits -> reference
+    # returns nan on the empty mean)
+    cells = rng.choice(h * w, size=m, replace=False)
+    cy, cx = cells // w, cells % w
+    bins = rng.integers(0, 64, m)
+    logits1[cy, cx, :] -= 5.0
+    logits1[cy, cx, bins] += 20.0
+    pts1 = np.stack([cx * 8 + bins % 8, cy * 8 + bins // 8],
+                    -1).astype(np.float32)
+    pts2 = np.stack([rng.integers(0, W, m),
+                     rng.integers(0, H, m)], -1).astype(np.float32)
+
+    tl, tacc = ref_losses.keypoint_position_loss(
+        torch.from_numpy(logits1.transpose(2, 0, 1)),
+        torch.from_numpy(logits2.transpose(2, 0, 1)),
+        torch.from_numpy(pts1), torch.from_numpy(pts2))
+
+    valid = jnp.ones((m,), bool)
+    jl, jacc = jax.jit(keypoint_position_loss)(
+        jnp.asarray(logits1), jnp.asarray(logits2),
+        jnp.asarray(pts1), jnp.asarray(pts2), valid)
+    np.testing.assert_allclose(float(jl), float(tl), rtol=1e-4)
+    np.testing.assert_allclose(float(jacc), float(tacc), atol=1e-6)
+
+    # masked padded rows change nothing
+    padn = 30
+    jl2, jacc2 = jax.jit(keypoint_position_loss)(
+        jnp.asarray(logits1), jnp.asarray(logits2),
+        jnp.asarray(np.concatenate([pts1, np.zeros((padn, 2), np.float32)])),
+        jnp.asarray(np.concatenate([pts2, np.zeros((padn, 2), np.float32)])),
+        jnp.asarray(np.arange(m + padn) < m))
+    np.testing.assert_allclose(float(jl2), float(tl), rtol=1e-4)
+
+
+def test_fine_loss_parity(ref_losses, monkeypatch):
+    """Patch sub-pixel regression loss == reference losses.py:35-71 (same
+    identity fine module, pinned random offsets)."""
+    from accelerated_features_tpu.train.losses import fine_loss
+    rng = np.random.default_rng(7)
+    Hf, Wf, C = 24, 30, 16
+    n, ws = 12, 7
+    f1 = rng.normal(size=(Hf, Wf, C)).astype(np.float32)
+    f2 = rng.normal(size=(Hf, Wf, C)).astype(np.float32)
+    pts1 = np.stack([rng.uniform(4, Wf - 5, n),
+                     rng.uniform(4, Hf - 5, n)], -1).astype(np.float32)
+    pts2 = np.stack([rng.uniform(4, Wf - 5, n),
+                     rng.uniform(4, Hf - 5, n)], -1).astype(np.float32)
+    offs = rng.uniform(-2.5, 2.5, (n, 2)).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch, "rand",
+        lambda *a, **k: torch.from_numpy((3.0 - offs) / 6.0))
+    identity = lambda p1, p2: (p1, p2)
+    tref = float(ref_losses.fine_loss(
+        torch.from_numpy(f1.transpose(2, 0, 1)),
+        torch.from_numpy(f2.transpose(2, 0, 1)),
+        torch.from_numpy(pts1), torch.from_numpy(pts2), identity, ws=ws))
+
+    ours = float(jax.jit(
+        lambda a, b, p, q, o: fine_loss(a, b, p, q, identity,
+                                        jax.random.key(0), offsets=o))(
+        jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(pts1),
+        jnp.asarray(pts2), jnp.asarray(offs)))
+    np.testing.assert_allclose(ours, tref, rtol=1e-4)
