@@ -92,44 +92,48 @@ def _inv3(M: jax.Array) -> jax.Array:
     return adj / det[..., None, None]
 
 
-def build_normal_blocks(p: BAProblem, lam: float, reduce_fn=lambda x: x):
+def build_normal_blocks(p: BAProblem, lam: float, reduce_cam=lambda x: x,
+                        reduce_pt=lambda x: x):
     """Per-camera U (C,6,6), per-point V^{-1} (P,3,3), gradients, and the
     per-observation coupling blocks W_i = J_c^T J_p (N,6,3).
 
-    `reduce_fn` sums partial segment-sums across devices (psum) when the
-    observation table is sharded (parallel/ba.py); identity single-device."""
+    `reduce_cam` / `reduce_pt` sum partial segment-sums across devices
+    (psum) for camera-space / point-space accumulators when the observation
+    table is sharded (parallel/ba.py). With point-owner sharding (all of a
+    point's observations on its owner device) `reduce_pt` stays identity —
+    points and their V blocks never cross the interconnect."""
     r, Jc, Jp = residuals_and_jacobians(p)
     C = p.cams.shape[0]
     P = p.points.shape[0]
 
-    U = reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jc, Jc),
-                                      p.obs_cam, num_segments=C))
-    V = reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jp, Jp),
+    U = reduce_cam(jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jc, Jc),
+                                       p.obs_cam, num_segments=C))
+    V = reduce_pt(jax.ops.segment_sum(jnp.einsum("nri,nrj->nij", Jp, Jp),
                                       p.obs_pt, num_segments=P))
-    b_c = -reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jc, r),
-                                         p.obs_cam, num_segments=C))
-    b_p = -reduce_fn(jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jp, r),
+    b_c = -reduce_cam(jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jc, r),
+                                          p.obs_cam, num_segments=C))
+    b_p = -reduce_pt(jax.ops.segment_sum(jnp.einsum("nri,nr->ni", Jp, r),
                                          p.obs_pt, num_segments=P))
 
     U = U + lam * jnp.eye(6)
     V = V + lam * jnp.eye(3)
     Vinv = _inv3(V)
     W = jnp.einsum("nri,nrj->nij", Jc, Jp)  # (N, 6, 3)
-    cost = reduce_fn(0.5 * jnp.sum(r ** 2))
+    cost = reduce_cam(0.5 * jnp.sum(r ** 2))
     return U, Vinv, W, b_c, b_p, cost
 
 
 def schur_matvec(x: jax.Array, U, Vinv, W, obs_cam, obs_pt, C, P,
-                 reduce_fn=lambda x: x):
+                 reduce_cam=lambda x: x, reduce_pt=lambda x: x):
     """S x = U x - W V^{-1} W^T x, evaluated observation-wise.
 
     x: (C, 6) camera-space vector -> (C, 6)."""
     Ux = jnp.einsum("cij,cj->ci", U, x)
     wtx = jnp.einsum("nji,nj->ni", W, x[obs_cam])          # (N,3): W^T x
-    z = reduce_fn(jax.ops.segment_sum(wtx, obs_pt, num_segments=P))
+    z = reduce_pt(jax.ops.segment_sum(wtx, obs_pt, num_segments=P))
     z = jnp.einsum("pij,pj->pi", Vinv, z)
     wz = jnp.einsum("nij,nj->ni", W, z[obs_pt])            # (N,6)
-    back = reduce_fn(jax.ops.segment_sum(wz, obs_cam, num_segments=C))
+    back = reduce_cam(jax.ops.segment_sum(wz, obs_cam, num_segments=C))
     return Ux - back
 
 
@@ -158,26 +162,28 @@ def cg_solve(matvec, b: jax.Array, iters: int = 50, tol: float = 1e-8):
 
 
 def ba_step(p: BAProblem, lam: float, cg_iters: int = 50,
-            reduce_fn=lambda x: x) -> Tuple[BAProblem, jax.Array]:
+            reduce_cam=lambda x: x, reduce_pt=lambda x: x
+            ) -> Tuple[BAProblem, jax.Array]:
     """One LM step: Schur-eliminate points, CG on the camera system,
     back-substitute points."""
     C = p.cams.shape[0]
     P = p.points.shape[0]
-    U, Vinv, W, b_c, b_p, cost = build_normal_blocks(p, lam, reduce_fn)
+    U, Vinv, W, b_c, b_p, cost = build_normal_blocks(p, lam, reduce_cam,
+                                                     reduce_pt)
 
     # rhs = b_c - W V^{-1} b_p
     vb = jnp.einsum("pij,pj->pi", Vinv, b_p)
     wvb = jnp.einsum("nij,nj->ni", W, vb[p.obs_pt])
-    rhs = b_c - reduce_fn(
+    rhs = b_c - reduce_cam(
         jax.ops.segment_sum(wvb, p.obs_cam, num_segments=C))
 
     mv = functools.partial(schur_matvec, U=U, Vinv=Vinv, W=W,
                            obs_cam=p.obs_cam, obs_pt=p.obs_pt, C=C, P=P,
-                           reduce_fn=reduce_fn)
+                           reduce_cam=reduce_cam, reduce_pt=reduce_pt)
     dc = cg_solve(mv, rhs, cg_iters)
 
     # dp = V^{-1} (b_p - W^T dc)
-    wtdc = reduce_fn(jax.ops.segment_sum(
+    wtdc = reduce_pt(jax.ops.segment_sum(
         jnp.einsum("nji,nj->ni", W, dc[p.obs_cam]),
         p.obs_pt, num_segments=P))
     dp = jnp.einsum("pij,pj->pi", Vinv, b_p - wtdc)
@@ -188,20 +194,30 @@ def ba_step(p: BAProblem, lam: float, cg_iters: int = 50,
     return new, cost
 
 
-def ba_cost(p: BAProblem, reduce_fn=lambda x: x) -> jax.Array:
+def ba_cost(p: BAProblem, reduce_cam=lambda x: x) -> jax.Array:
     r, _, _ = residuals_and_jacobians(p)
-    return reduce_fn(0.5 * jnp.sum(r ** 2))
+    return reduce_cam(0.5 * jnp.sum(r ** 2))
 
 
 def bundle_adjust(p: BAProblem, iters: int = 20, lam0: float = 1e-3,
-                  cg_iters: int = 50, reduce_fn=lambda x: x
+                  cg_iters: int = 50, reduce_fn=None,
+                  reduce_cam=None, reduce_pt=None
                   ) -> Tuple[BAProblem, Dict[str, jax.Array]]:
     """LM loop with multiplicative damping adaptation (accept/reject),
-    jit-compatible (lax control flow)."""
+    jit-compatible (lax control flow).
+
+    `reduce_fn` applies one reduction to BOTH camera- and point-space
+    accumulators (observation sharding with replicated cams+points);
+    `reduce_cam`/`reduce_pt` set them independently (point-owner sharding
+    uses reduce_cam=psum, reduce_pt=identity)."""
+    ident = lambda x: x
+    reduce_cam = reduce_cam or reduce_fn or ident
+    reduce_pt = reduce_pt or reduce_fn or ident
+
     def body(_, state):
         p, lam, cost_prev = state
-        p_new, _ = ba_step(p, lam, cg_iters, reduce_fn)
-        cost_new = ba_cost(p_new, reduce_fn)
+        p_new, _ = ba_step(p, lam, cg_iters, reduce_cam, reduce_pt)
+        cost_new = ba_cost(p_new, reduce_cam)
         accept = cost_new < cost_prev
         p = jax.tree.map(lambda a, b: jnp.where(accept, a, b), p_new, p)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8),
@@ -209,7 +225,7 @@ def bundle_adjust(p: BAProblem, iters: int = 20, lam0: float = 1e-3,
         cost = jnp.where(accept, cost_new, cost_prev)
         return p, lam, cost
 
-    cost0 = ba_cost(p, reduce_fn)
+    cost0 = ba_cost(p, reduce_cam)
     p_out, lam, cost = jax.lax.fori_loop(
         0, iters, body, (p, jnp.asarray(lam0, jnp.float32), cost0))
     return p_out, {"initial_cost": cost0, "final_cost": cost,

@@ -57,14 +57,19 @@ def main():
     print(f"# backend={jax.default_backend()} dev={dev.device_kind} "
           f"B={B} {W}x{H} top_k={K} dtype={args.dtype}")
 
+    def stage(name, fn, *args):
+        t = timeit(fn, *args)
+        print(f"[stage] {name}: {t*1e3:.3f} ms/batch", flush=True)
+        return t
+
     # full pipeline
     full = jax.jit(lambda p, im: detect_and_compute(
         p, im, top_k=K, detection_threshold=0.05, compute_dtype=cdt))
-    t_full = timeit(full, params, x)
+    t_full = stage("full", full, params, x)
 
     # backbone only
     bb = jax.jit(lambda p, im: xfeat_forward(p, im, compute_dtype=cdt))
-    t_bb = timeit(bb, params, x)
+    t_bb = stage("backbone", bb, params, x)
 
     # stem: input_norm + block1 + skip
     def stem_fn(p, im):
@@ -75,7 +80,7 @@ def main():
         skip = conv2d(skip, p["skip1"]["w"], p["skip1"]["b"])
         return x1 + skip
     stem = jax.jit(stem_fn)
-    t_stem = timeit(stem, params, x)
+    t_stem = stage("stem", stem, params, x)
 
     # individual block1 convs
     from accelerated_features_tpu.models.backbone import _basic_layer, BLOCK_PLANS
@@ -87,16 +92,17 @@ def main():
         zs.append(jax.block_until_ready(zi))
     t_convs = []
     for i, (_, s) in enumerate(BLOCK_PLANS["block1"]):
-        t_convs.append(timeit(
+        t_convs.append(stage(
+            f"block1.conv{i+1}",
             jax.jit(lambda p, a, s=s: _basic_layer(p, a, s, False, None)),
             params["block1"][i], zs[i]))
-    t_in = timeit(jax.jit(lambda im: input_norm(im).astype(cdt)), x)
+    t_in = stage("input_norm", jax.jit(lambda im: input_norm(im).astype(cdt)), x)
 
     # post-backbone stages
     feats, logits, heat = jax.block_until_ready(bb(params, x))
     featsn = jax.jit(lambda f: l2_normalize(f.astype(jnp.float32)))(feats)
-    t_decode = timeit(jax.jit(heatmap_decode),
-                      jax.block_until_ready(logits.astype(jnp.float32)))
+    t_decode = stage("heatmap_decode", jax.jit(heatmap_decode),
+                     jax.block_until_ready(logits.astype(jnp.float32)))
     kheat = jax.block_until_ready(jax.jit(heatmap_decode)(
         logits.astype(jnp.float32)))
     rel = jax.block_until_ready(heat[..., 0].astype(jnp.float32))
@@ -106,16 +112,16 @@ def main():
     if use_fused:
         from accelerated_features_tpu.ops.pallas.detect_fused import (
             topk_keypoints_fused)
-        t_nms = timeit(jax.jit(lambda kh, r: topk_keypoints_fused(
+        t_nms = stage("nms_topk_fused", jax.jit(lambda kh, r: topk_keypoints_fused(
             kh, r, K, 0.05, interpret=False)), kheat, rel)
         tag = "fused"
     else:
-        t_nms = timeit(jax.jit(lambda kh, r: topk_keypoints(
+        t_nms = stage("nms_topk_xla", jax.jit(lambda kh, r: topk_keypoints(
             score_map(kh, r, 0.05), K)), kheat, rel)
         tag = "xla"
     kpts = jax.block_until_ready(
         jnp.zeros((B, K, 2), jnp.float32) + 8.0)
-    t_samp = timeit(jax.jit(lambda f, kp: l2_normalize(
+    t_samp = stage("bicubic", jax.jit(lambda f, kp: l2_normalize(
         sample_bicubic_matmul(f, kp, (H, W)))),
         jax.block_until_ready(featsn), kpts)
 
@@ -132,11 +138,12 @@ def main():
         ("bicubic sample+norm", t_samp),
         ("FULL detect_and_compute", t_full),
     ]
-    print(f"{'stage':<32}{'ms/batch':>10}{'us/frame':>10}{'% of full':>10}")
+    print(f"{'stage':<32}{'ms/batch':>10}{'us/frame':>10}{'% of full':>10}",
+          flush=True)
     for name, t in rows:
         print(f"{name:<32}{t*1e3:>10.3f}{t*1e6/B:>10.1f}"
-              f"{100*t/t_full:>9.1f}%")
-    print(f"FPS: {B/t_full:.0f}")
+              f"{100*t/t_full:>9.1f}%", flush=True)
+    print(f"FPS: {B/t_full:.0f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -124,3 +124,68 @@ def test_trainer_cli_non_round_batch(tmp_path, monkeypatch):
         "--training_res", "64,64", "--max_corrs", "32",
         "--save_ckpt_every", "1000"])
     train_run.main()  # must not raise
+
+
+def _random_ba_problem(seed=0, C=8, Pn=200, N=1200):
+    from accelerated_features_tpu.sfm.ba import BAProblem
+    rng = np.random.default_rng(seed)
+    cams = rng.normal(0, 0.1, (C, 6)).astype(np.float32)
+    cams[:, 5] += 4
+    pts = rng.uniform(-2, 2, (Pn, 3)).astype(np.float32)
+    K = np.array([[500., 0, 320], [0, 500., 240], [0, 0, 1]], np.float32)
+    fixed = np.zeros(C, bool)
+    fixed[0] = True
+    return BAProblem(
+        jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(K),
+        jnp.asarray(rng.integers(0, C, N).astype(np.int32)),
+        jnp.asarray(rng.integers(0, Pn, N).astype(np.int32)),
+        jnp.asarray(rng.uniform(0, 480, (N, 2)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=N) > 0.1),
+        jnp.asarray(fixed))
+
+
+def test_point_sharded_ba_matches_single_device():
+    """Owner-computes map partitioning == single-device BA (VERDICT r1 #3):
+    points, V blocks and observations shard by owner; only C-sized camera
+    reductions cross devices."""
+    from accelerated_features_tpu.parallel import make_mesh
+    from accelerated_features_tpu.parallel.ba import (
+        bundle_adjust_point_sharded)
+    from accelerated_features_tpu.sfm.ba import bundle_adjust
+
+    prob = _random_ba_problem()
+    single, st1 = jax.jit(lambda q: bundle_adjust(q, iters=5, cg_iters=20))(
+        prob)
+    mesh = make_mesh((8, 1))
+    shard, st2 = bundle_adjust_point_sharded(prob, mesh, iters=5,
+                                             cg_iters=20)
+    np.testing.assert_allclose(float(st2["final_cost"]),
+                               float(st1["final_cost"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard.cams),
+                               np.asarray(single.cams), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(shard.points),
+                               np.asarray(single.points), atol=2e-3,
+                               rtol=1e-3)
+
+
+def test_point_partition_memory_layout():
+    """The partition actually divides the map: each device's point shard is
+    P/ndev and every observation lands on its point's owner."""
+    from accelerated_features_tpu.parallel.ba import partition_by_point
+
+    prob = _random_ba_problem(seed=1, Pn=203, N=900)
+    ndev = 8
+    q, inverse = partition_by_point(prob, ndev)
+    Ppad = q.points.shape[0]
+    assert Ppad % ndev == 0
+    ploc = Ppad // ndev
+    # reordering round-trips
+    np.testing.assert_allclose(np.asarray(q.points[inverse][:203]),
+                               np.asarray(prob.points))
+    # every (real) observation's LOCAL point id addresses the owner shard
+    nloc = q.obs_pt.shape[0] // ndev
+    op = np.asarray(q.obs_pt).reshape(ndev, nloc)
+    om = np.asarray(q.obs_mask).reshape(ndev, nloc)
+    assert (op[om] < ploc).all()
+    # observation count is preserved
+    assert om.sum() == int(np.asarray(prob.obs_mask).sum())

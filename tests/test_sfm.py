@@ -326,3 +326,129 @@ def test_incremental_slam_synthetic():
     # monocular scale is free: compare after similarity alignment
     ate = absolute_trajectory_error(traj, gt[:len(traj)])
     assert ate < 0.2, ate
+
+
+def _circle_slam_run(enable_loop, n_frames=14, noise=0.8, seed=3):
+    """Camera orbits inside a ring of landmarks and returns to the start;
+    injected geometric front end with per-point descriptors for retrieval."""
+    from accelerated_features_tpu.sfm.slam import IncrementalSlam, SlamConfig
+
+    rng = np.random.default_rng(seed)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    n_pts = 900
+    ang = rng.uniform(0, 2 * np.pi, n_pts)
+    rad = rng.uniform(7, 11, n_pts)
+    X = np.stack([rad * np.sin(ang), rng.uniform(-3, 3, n_pts),
+                  rad * np.cos(ang)], -1)
+    descs = rng.normal(size=(n_pts, 64)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+
+    gt = np.zeros((n_frames, 6), np.float32)
+    feats = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        c = 2.0 * np.array([np.sin(th), 0.0, np.cos(th)])
+        aa = np.array([0.0, -th, 0.0])
+        R = np.asarray(so3_exp(jnp.asarray(aa, jnp.float32)))
+        t = -R @ c
+        gt[i, :3] = aa
+        gt[i, 3:] = t
+        uv = np.stack([np.asarray(project(jnp.asarray(gt[i]),
+                                          jnp.asarray(X[p], jnp.float32),
+                                          jnp.asarray(K, jnp.float32)))
+                       for p in range(n_pts)])
+        Xc = (R @ X.T).T + t
+        vis = ((uv[:, 0] > 0) & (uv[:, 0] < 640) &
+               (uv[:, 1] > 0) & (uv[:, 1] < 480) & (Xc[:, 2] > 0.5))
+        ids = np.nonzero(vis)[0]
+        kp = uv[ids] + rng.normal(0, noise, (len(ids), 2))
+        feats.append({"keypoints": kp.astype(np.float32), "ids": ids,
+                      "descriptors": descs[ids]})
+
+    it = iter(range(n_frames))
+
+    def extract(_image):
+        return feats[next(it)]
+
+    def match(d0, d1):
+        common, a_idx, b_idx = np.intersect1d(d0["ids"], d1["ids"],
+                                              return_indices=True)
+        return a_idx, b_idx
+
+    cfg = SlamConfig(kf_min_inliers=10_000, window=4,
+                     enable_loop_closure=enable_loop,
+                     loop_min_sim=0.05, loop_min_gap=4,
+                     loop_candidates=3, loop_min_inliers=20)
+    slam = IncrementalSlam(K, cfg, extract=extract, match=match)
+    for i in range(n_frames):
+        slam.process_frame(None)
+    traj = slam.trajectory()
+    ate = absolute_trajectory_error(traj, gt[:len(traj)])
+    return slam, ate
+
+
+def test_slam_loop_closure_collapses_drift():
+    """A verified loop edge + pose-graph optimization must shrink ATE vs
+    the same sequence tracked as pure odometry (VERDICT r1 #4)."""
+    slam_open, ate_open = _circle_slam_run(enable_loop=False)
+    slam_loop, ate_loop = _circle_slam_run(enable_loop=True)
+    assert slam_open.n_loop_closures == 0
+    assert slam_loop.n_loop_closures >= 1
+    assert ate_loop < ate_open * 0.75, (ate_open, ate_loop)
+    assert ate_loop < 0.25, ate_loop
+
+
+def test_slam_relocalization():
+    """Cutting the sequential overlap (teleport) must trigger
+    relocalization against a previously-seen keyframe."""
+    from accelerated_features_tpu.sfm.slam import IncrementalSlam, SlamConfig
+
+    rng = np.random.default_rng(4)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    n_pts = 700
+    ang = rng.uniform(0, 2 * np.pi, n_pts)
+    rad = rng.uniform(7, 11, n_pts)
+    X = np.stack([rad * np.sin(ang), rng.uniform(-3, 3, n_pts),
+                  rad * np.cos(ang)], -1)
+    descs = rng.normal(size=(n_pts, 64)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+
+    def make_frame(th):
+        c = 2.0 * np.array([np.sin(th), 0.0, np.cos(th)])
+        aa = np.array([0.0, -th, 0.0])
+        R = np.asarray(so3_exp(jnp.asarray(aa, jnp.float32)))
+        t = -R @ c
+        pose = np.concatenate([aa, t]).astype(np.float32)
+        uv = np.stack([np.asarray(project(jnp.asarray(pose),
+                                          jnp.asarray(X[p], jnp.float32),
+                                          jnp.asarray(K, jnp.float32)))
+                       for p in range(n_pts)])
+        Xc = (R @ X.T).T + t
+        vis = ((uv[:, 0] > 0) & (uv[:, 0] < 640) &
+               (uv[:, 1] > 0) & (uv[:, 1] < 480) & (Xc[:, 2] > 0.5))
+        ids = np.nonzero(vis)[0]
+        return {"keypoints": uv[ids].astype(np.float32), "ids": ids,
+                "descriptors": descs[ids]}
+
+    # wander away from the start with tracked keyframes, then teleport back
+    # near angle 0: the last keyframe (1.35 rad away) shares no view with
+    # the final frame, but keyframe 0 does -> relocalization must anchor it
+    angles = [0.0, 0.12, 0.24, 0.36, 0.6, 0.85, 1.1, 1.35, 0.05]
+    frames = [make_frame(a) for a in angles]
+    it = iter(range(len(frames)))
+
+    def extract(_image):
+        return frames[next(it)]
+
+    def match(d0, d1):
+        common, a_idx, b_idx = np.intersect1d(d0["ids"], d1["ids"],
+                                              return_indices=True)
+        return a_idx, b_idx
+
+    cfg = SlamConfig(kf_min_inliers=10_000, window=4,
+                     enable_loop_closure=True, loop_min_sim=0.05,
+                     loop_min_gap=10, reloc_min_inliers=15)
+    slam = IncrementalSlam(K, cfg, extract=extract, match=match)
+    outs = [slam.process_frame(None) for _ in range(len(frames))]
+    assert slam.n_relocalizations >= 1
+    assert any(o["relocalized"] for o in outs)
