@@ -107,6 +107,20 @@ def score_map(kpt_heat: jax.Array, reliability: jax.Array,
     return scores
 
 
+def _padded_top_k(flat: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """lax.top_k that tolerates k > axis size: clamps k and pads the tail
+    with (-1.0, index 0) so callers keep a static (B, K) shape. Matches the
+    reference's argsort[:top_k] slice, which also just yields fewer valid
+    entries on tiny images (xfeat.py:83-87)."""
+    n = flat.shape[-1]
+    if k <= n:
+        return jax.lax.top_k(flat, k)
+    scores, idx = jax.lax.top_k(flat, n)
+    pad = [(0, 0)] * (flat.ndim - 1) + [(0, k - n)]
+    return (jnp.pad(scores, pad, constant_values=-1.0),
+            jnp.pad(idx, pad, constant_values=0))
+
+
 def topk_keypoints(scores: jax.Array, top_k: int
                    ) -> Tuple[jax.Array, jax.Array]:
     """Dense (B,H,W) score map -> ((B,K,2) int xy keypoints, (B,K) scores),
@@ -122,7 +136,7 @@ def topk_keypoints(scores: jax.Array, top_k: int
     b, h, w = scores.shape
     if h % 2 or w % 2:
         flat = scores.reshape(b, h * w)
-        top_scores, idx = jax.lax.top_k(flat, top_k)
+        top_scores, idx = _padded_top_k(flat, top_k)
         xs = (idx % w).astype(jnp.int32)
         ys = (idx // w).astype(jnp.int32)
         return jnp.stack([xs, ys], axis=-1), top_scores
@@ -133,7 +147,7 @@ def topk_keypoints(scores: jax.Array, top_k: int
     s4 = s4.transpose(0, 1, 3, 2, 4).reshape(b, h // 2, w // 2, 4)
     best = jnp.max(s4, axis=-1)
     arg = jnp.argmax(s4, axis=-1).astype(jnp.int32)
-    top_scores, idx = jax.lax.top_k(best.reshape(b, -1), top_k)
+    top_scores, idx = _padded_top_k(best.reshape(b, -1), top_k)
     sub = jnp.take_along_axis(arg.reshape(b, -1), idx, axis=1)
     ty = idx // (w // 2)
     tx = idx % (w // 2)
@@ -146,7 +160,10 @@ def dense_topk(feat_flat: jax.Array, rel_flat: jax.Array, top_k: int):
     """Semi-dense extraction selector (reference extractDense,
     xfeat.py:356-377): top-k /8 cells by reliability; gather descriptors.
 
-    feat_flat: (B, h*w, C); rel_flat: (B, h*w) -> (idx (B,K), feats (B,K,C))."""
-    scores, idx = jax.lax.top_k(rel_flat, top_k)
+    feat_flat: (B, h*w, C); rel_flat: (B, h*w) -> (idx (B,K), feats (B,K,C)).
+    For tiny images with fewer than K cells the tail is padded (cell 0,
+    reliability -1) rather than erroring, mirroring the reference's
+    shorter-output behavior (xfeat.py:371)."""
+    scores, idx = _padded_top_k(rel_flat, top_k)
     feats = jnp.take_along_axis(feat_flat, idx[..., None], axis=1)
     return idx, feats

@@ -56,10 +56,12 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
     kheat = heatmap_decode(logits)                       # (B, H, W)
     use_fused = (compute_dtype == jnp.bfloat16
                  and jax.default_backend() == "tpu"
-                 and H % 16 == 0 and W % 128 == 0)
+                 and H % 16 == 0 and W % 2 == 0)
     if use_fused:
-        # Pallas fused NMS+score+2x2-reduce kernel (identical keypoint sets;
-        # ordering may differ within ~3e-4 score ties)
+        # Pallas fused NMS+score+2x2-reduce kernel with the winner index
+        # packed into the score int (identical keypoint sets; ordering may
+        # differ within ~3e-4 score ties; covers all /32-divisible sizes
+        # incl. 800x608 and the MegaDepth eval resolutions)
         from .pallas.detect_fused import topk_keypoints_fused
         kpts_i, scores = topk_keypoints_fused(
             kheat, heat[..., 0].astype(jnp.float32), top_k,
@@ -70,12 +72,24 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
         kpts_i, scores = topk_keypoints(scores_dense, top_k)
 
     if compute_dtype == jnp.bfloat16:
-        # throughput path: bicubic as MXU matmuls (see sample_bicubic_matmul)
-        descs = sample_bicubic_matmul(feats, kpts_i.astype(jnp.float32),
-                                      (H, W))
+        b = images.shape[0]
+        # The matmul formulation materializes a (B,K,w,c) bf16 intermediate
+        # in HBM; past ~4 GB (large batches at high resolution) switch to
+        # the VMEM-resident Pallas sampler, which trades ~1.7x stage time
+        # for O(B*K*c) HBM footprint (measured: matmul 6.5 ms vs fused
+        # ~16 ms per VGA b64 batch, but fused never OOMs).
+        mid_bytes = b * top_k * (W // 8) * 64 * 2
+        if jax.default_backend() == "tpu" and mid_bytes > 4 << 30:
+            from .pallas.bicubic import sample_bicubic_fused
+            descs = sample_bicubic_fused(feats, kpts_i.astype(jnp.float32),
+                                         (H, W), normalize=True,
+                                         interpret=False)
+        else:
+            descs = l2_normalize(sample_bicubic_matmul(
+                feats, kpts_i.astype(jnp.float32), (H, W)))
     else:
-        descs = sample_bicubic(feats, kpts_i.astype(jnp.float32), (H, W))
-    descs = l2_normalize(descs)
+        descs = l2_normalize(sample_bicubic(
+            feats, kpts_i.astype(jnp.float32), (H, W)))
 
     kpts = kpts_i.astype(jnp.float32) * jnp.asarray([rw, rh], jnp.float32)
     return {

@@ -6,12 +6,18 @@ K = 9*C_in (<= 216) and N = C_out (<= 24): at C_in=1, C_out=4 the systolic
 array runs at ~0.2% utilization, and the stem dominates backbone time
 (measured 9.2 ms of a 28.6 ms VGA b64 extraction).
 
-Fix: evaluate G consecutive output columns per matmul row ("halo" grouping).
-The im2col patch widens from 3 to G+2 columns (stride 1) / 2G+1 (stride 2)
-and the weight matrix becomes a banded (3*win*C_in, G*C_out) block-Toeplitz
-expansion of the 3x3 kernel. K and N both approach 128, raising MXU
-utilization 10-40x at a (G+2)/3-fold FLOP overhead — a large net win for
-C_in <= 24 (never used for the wide convs, which already tile well).
+Fix attempt: evaluate G consecutive output columns per matmul row ("halo"
+grouping). The im2col patch widens from 3 to G+2 columns (stride 1) /
+2G+1 (stride 2) and the weight matrix becomes a banded (3*win*C_in,
+G*C_out) block-Toeplitz expansion of the 3x3 kernel, pushing K and N
+toward 128 at a (G+2)/3-fold FLOP overhead.
+
+MEASURED RESULT (TPU v5e, VGA b64 bf16): parity holds and the op wins or
+ties layer-by-layer in isolation, but routing the stem through it in the
+full backbone costs +46 ms/batch (2585 -> 734 FPS) — the strided
+slice+stack im2col breaks XLA's stem fusion and round-trips HBM. Kept as
+a parity-tested op and a documented negative result; NOT used by the
+default forward path (models/backbone.py uses plain conv2d everywhere).
 
 Numerics: identical contraction as the direct conv (zero padding included)
 up to float reduction order; the extra band entries multiply structural

@@ -9,11 +9,19 @@ in HBM and pays a 39 MB tile-transpose before top-k):
   --5x5 separable local-max + threshold--> NMS mask
   --reliability lerp (two banded matmuls on the MXU)--> rel_up (H, W)
   --score = heat * rel_up masked to -1--> scores
-  --exact 2x2 tile max + winner index--> best (H/2, W/2), sub (H/2, W/2)
+  --exact 2x2 tile max + winner index--> packed int32 (H/2, W/2)
 
-Only `best` and `sub` (1/4-res) leave the kernel; the host-side finisher is
-one `top_k` over H*W/4 plus cheap index math. Semantics identical to
-ops.detect.score_map + topk_keypoints (verified in tests).
+The 2x2 winner's sub-pixel index is PACKED into the low 2 bits of an
+order-preserving int32 image of the f32 score (sign-folded bitcast), so the
+finisher is ONE `lax.top_k` over int32 — no `take_along_axis` gather (the
+gather dominated the stage at ~9 ms/batch VGA b64). Score decode loses the
+2 low mantissa bits (~2e-7 relative) — far below the 3e-4 tie window the
+XLA path already tolerates.
+
+Works for any even H, W (lane shifts are explicit slice+pad, not 128-lane
+rolls), so 800x608 training/eval and all /32-divisible MegaDepth sizes take
+the fast path. Semantics identical to ops.detect.score_map + topk_keypoints
+(reference xfeat.py:49-103) — verified in tests.
 
 VMEM budget: all per-image buffers at VGA ~ 6 MB < 16 MB, so the grid is
 simply (batch,).
@@ -52,8 +60,26 @@ def _lerp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return M
 
 
+def _shift1(x, axis, fill):
+    """out[..i..] = x[..i+1..] along `axis`, last element = fill.
+
+    Implemented as a circular roll + mask of the wrapped lane (Mosaic
+    rejects the slice+pad lane concatenation for offset-layout reasons;
+    the roll lowers to supported lane rotates for any width)."""
+    n = x.shape[axis]
+    sh = pltpu.roll(x, n - 1, axis)
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    return jnp.where(ids == n - 1, jnp.float32(fill), sh)
+
+
+def _order_key(f):
+    """Order-preserving f32 -> int32 (sign-folded bitcast)."""
+    i = pltpu.bitcast(f, jnp.int32)
+    return jnp.where(i >= 0, i, i ^ jnp.int32(0x7FFFFFFF))
+
+
 def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
-                   mc_ref, best_ref, sub_ref):
+                   mc_ref, packed_ref):
     H, W = heat_ref.shape[1:]
     h, w = rel_ref.shape[1:]
     thr = thr_smem[0, 0]
@@ -82,10 +108,12 @@ def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
     rel = rel_ref[0]                                  # (h, w)
     rel_w = jax.lax.dot_general(rel, mw_ref[:],        # (h, W)
                                 (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
     rel_up = jax.lax.dot_general(mh_ref[:], rel_w,     # (H, W)
                                  (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
 
     # nearest-sampling border kill (last row/col), padding kill at (0,0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -95,39 +123,50 @@ def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
     scores = jnp.where(is_max & ~border, heat * rel_up, -1.0)
     scores = jnp.where(origin, -1.0, scores)
 
-    # exact 2x2 tile reduction, stride-free (5x5 NMS spacing guarantee):
-    # rows via a major-dim reshape + slice; columns via a lane roll and a
-    # one-hot compaction matmul (mc_ref: (W, W/2) selecting even lanes)
+    # exact 2x2 tile reduction (5x5 NMS spacing guarantee): rows via a
+    # major-dim reshape + slice; columns via an explicit one-lane left
+    # shift and a one-hot compaction matmul (mc_ref: (W, W/2) even lanes)
     s2 = scores.reshape(H // 2, 2, W)
     r0 = s2[:, 0, :]
     r1 = s2[:, 1, :]
     rowmax = jnp.maximum(r0, r1)
     is_bottom = (r1 > r0).astype(jnp.float32)
 
-    # circular left-shift by one lane (roll by W-1; the wrapped value only
-    # lands in odd columns, which the compaction never selects)
-    sh = pltpu.roll(rowmax, W - 1, 1)
+    sh = _shift1(rowmax, 1, -jnp.inf)
     is_right = (sh > rowmax).astype(jnp.float32)
     pairmax = jnp.maximum(rowmax, sh)
-    bottom_right = pltpu.roll(is_bottom, W - 1, 1)
+    bottom_right = _shift1(is_bottom, 1, 0.0)
     chosen_bottom = jnp.where(is_right > 0, bottom_right, is_bottom)
     sub_f = chosen_bottom * 2.0 + is_right
 
     def compact(x):
+        # HIGHEST: the default MXU precision truncates f32 to bf16, which
+        # would quantize the scores (and the reliability lerp above) to a
+        # ~1e-3 grid — the packed-score contract keeps f32 minus 2 LSBs
         return jax.lax.dot_general(x, mc_ref[:], (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
-    best_ref[0] = compact(pairmax)
-    sub_ref[0] = compact(sub_f).astype(jnp.int32)
+    best = compact(pairmax)                       # (H/2, W/2) f32
+    sub = compact(sub_f)                          # (H/2, W/2) in {0..3}
+    key = _order_key(best)
+    packed_ref[0] = (key & jnp.int32(~3)) | sub.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _detect_call(kheat, rel, mw, mh, mc, thr, interpret=False):
     b, H, W = kheat.shape
     h, w = rel.shape[1:]
+    # Per-image working set is ~12 f32 (H, W) buffer lifetimes (NMS shifts,
+    # lerp output, scores, packing); above the 16 MiB default scoped-VMEM
+    # budget for >~VGA images. v5e has 128 MiB VMEM — size the cap to the
+    # problem (MegaDepth eval maxes at 1216x912 -> ~70 MiB).
+    vmem_cap = min(112, max(16, (14 * H * W * 4) // (1024 * 1024) + 4))
     return pl.pallas_call(
         _detect_kernel,
         grid=(b,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_cap * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
@@ -139,25 +178,19 @@ def _detect_call(kheat, rel, mw, mh, mc, thr, interpret=False):
             pl.BlockSpec((W, W // 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, H // 2, W // 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H // 2, W // 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.float32),
-            jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((1, H // 2, W // 2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.int32),
         interpret=interpret,
     )(thr, kheat, rel, mw, mh, mc)
 
 
 def detect_scores_fused(kheat: jax.Array, reliability: jax.Array,
                         detection_threshold: float = 0.05,
-                        interpret=None) -> Tuple[jax.Array, jax.Array]:
-    """(B,H,W) decoded heatmap + (B,h,w) reliability -> 2x2-reduced score
-    map (B,H/2,W/2) and per-tile winner index (B,H/2,W/2)."""
+                        interpret=None) -> jax.Array:
+    """(B,H,W) decoded heatmap + (B,h,w) reliability -> packed int32
+    (B,H/2,W/2): order-preserving score key with the 2x2 winner index in
+    the low 2 bits."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, H, W = kheat.shape
@@ -177,12 +210,21 @@ def topk_keypoints_fused(kheat: jax.Array, reliability: jax.Array,
                          interpret=None) -> Tuple[jax.Array, jax.Array]:
     """Fused replacement for score_map + topk_keypoints (feed it the
     heatmap_decode output). Returns ((B,K,2) int xy, (B,K) scores), same
-    contract as ops.detect.topk_keypoints."""
-    best, sub = detect_scores_fused(kheat, reliability,
-                                    detection_threshold, interpret)
-    b, h2, w2 = best.shape
-    scores, idx = jax.lax.top_k(best.reshape(b, -1), top_k)
-    sub_sel = jnp.take_along_axis(sub.reshape(b, -1), idx, axis=1)
+    contract as ops.detect.topk_keypoints (scores within 2 mantissa LSBs)."""
+    packed = detect_scores_fused(kheat, reliability, detection_threshold,
+                                 interpret)
+    b, h2, w2 = packed.shape
+    from ..detect import _padded_top_k
+    top, idx = _padded_top_k(packed.reshape(b, -1), top_k)
+    # padded slots carry idx 0 / score -1: force their packed key negative
+    # so the decoded score stays < 0 (invalid) regardless of cell (0,0)
+    if top_k > h2 * w2:
+        ids = jax.lax.broadcasted_iota(jnp.int32, top.shape, 1)
+        top = jnp.where(ids < h2 * w2, top, jnp.int32(-2 << 24))
+    sub_sel = top & 3
+    key = top & jnp.int32(~3)
+    key = jnp.where(key >= 0, key, key ^ jnp.int32(0x7FFFFFFF))
+    scores = jax.lax.bitcast_convert_type(key, jnp.float32)
     ty = idx // w2
     tx = idx % w2
     ys = (ty * 2 + sub_sel // 2).astype(jnp.int32)

@@ -108,7 +108,7 @@ def main():
     rel = jax.block_until_ready(heat[..., 0].astype(jnp.float32))
 
     use_fused = (cdt == jnp.bfloat16 and jax.default_backend() == "tpu"
-                 and H % 16 == 0 and W % 128 == 0)
+                 and H % 16 == 0 and W % 2 == 0)
     if use_fused:
         from accelerated_features_tpu.ops.pallas.detect_fused import (
             topk_keypoints_fused)

@@ -140,6 +140,42 @@ def test_topk_keypoints():
     assert scores[0, 3] <= 0  # padding slot invalid
 
 
+def test_topk_keypoints_k_exceeds_map():
+    """top_k larger than the score map (tiny images) pads instead of
+    erroring — mirrors the reference's argsort[:top_k] short output
+    (xfeat.py:83-87). Regression: 32x32 image with top_k=1024 crashed."""
+    s = -np.ones((1, 4, 4), np.float32)
+    s[0, 1, 2] = 0.5
+    kpts, scores = jax.jit(lambda x: topk_keypoints(x, 64))(jnp.asarray(s))
+    kpts, scores = np.asarray(kpts), np.asarray(scores)
+    assert kpts.shape == (1, 64, 2) and scores.shape == (1, 64)
+    np.testing.assert_array_equal(kpts[0, 0], [2, 1])
+    assert scores[0, 0] == np.float32(0.5)
+    assert (scores[0, 1:] <= 0).all()
+    # odd-size fallback path too
+    s = -np.ones((1, 3, 5), np.float32)
+    s[0, 2, 4] = 0.25
+    kpts, scores = jax.jit(lambda x: topk_keypoints(x, 32))(jnp.asarray(s))
+    assert np.asarray(scores).shape == (1, 32)
+    np.testing.assert_array_equal(np.asarray(kpts)[0, 0], [4, 2])
+    assert (np.asarray(scores)[0, 1:] <= 0).all()
+
+
+def test_detect_and_compute_tiny_image():
+    """Full pipeline on a 32x32 image with top_k much larger than the
+    pixel count: static (B,K) output, tail marked invalid."""
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.ops.extraction import detect_and_compute
+    params = init_xfeat_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 32, 32, 1)), jnp.float32)
+    out = jax.jit(lambda p, im: detect_and_compute(
+        p, im, top_k=1024, detection_threshold=0.012))(params, x)
+    assert out["keypoints"].shape == (1, 1024, 2)
+    valid = np.asarray(out["scores"][0]) > 0
+    assert valid.sum() <= 256  # at most one kpt per 2x2 of the 32x32 grid
+
+
 def test_subpix_softmax2d_parity():
     """vs reference subpix_softmax2d (xfeat.py:292-304, temp=3)."""
     rng = np.random.default_rng(6)

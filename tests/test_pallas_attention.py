@@ -74,3 +74,44 @@ def test_fused_detect_matches_xla():
         assert (s_f[b] > 0).sum() == v.sum()
         np.testing.assert_allclose(s_f[b][:v.sum()], s_ref[b][v], atol=1e-5)
         np.testing.assert_array_equal(k_f[b][:v.sum()], k_ref[b][v])
+
+
+def test_fused_detect_non_128_width():
+    """The fused kernel must cover W % 128 != 0 (800x608 train/eval size;
+    VERDICT r1 #6): parity at w=76 -> W=608."""
+    from accelerated_features_tpu.ops.detect import (heatmap_decode,
+                                                     score_map,
+                                                     topk_keypoints)
+    from accelerated_features_tpu.ops.pallas.detect_fused import (
+        topk_keypoints_fused)
+    rng = np.random.default_rng(5)
+    B, h, w = 2, 10, 76
+    logits = jnp.asarray(rng.normal(size=(B, h, w, 65)).astype(np.float32)) * 3
+    rel = jnp.asarray(rng.uniform(0.1, 1, (B, h, w)).astype(np.float32))
+    kheat = heatmap_decode(logits)
+    k_ref, s_ref = topk_keypoints(score_map(kheat, rel, 0.012), 128)
+    k_f, s_f = topk_keypoints_fused(kheat, rel, 128, 0.012)
+    k_ref, s_ref, k_f, s_f = map(np.asarray, (k_ref, s_ref, k_f, s_f))
+    for b in range(B):
+        v = s_ref[b] > 0
+        assert (s_f[b] > 0).sum() == v.sum()
+        np.testing.assert_allclose(s_f[b][:v.sum()], s_ref[b][v], atol=1e-5)
+        np.testing.assert_array_equal(k_f[b][:v.sum()], k_ref[b][v])
+
+
+def test_fused_bicubic_parity():
+    """Pallas bicubic sampler (interpret) == f32 gather reference."""
+    from accelerated_features_tpu.ops.extraction import l2_normalize
+    from accelerated_features_tpu.ops.pallas.bicubic import (
+        sample_bicubic_fused)
+    from accelerated_features_tpu.ops.sample import sample_bicubic
+    rng = np.random.default_rng(6)
+    B, h, w, K = 2, 30, 40, 700
+    H, W = h * 8, w * 8
+    maps = jnp.asarray(rng.normal(size=(B, h, w, 64)), jnp.float32)
+    pos = jnp.asarray(np.stack([rng.uniform(-8, W + 8, (B, K)),
+                                rng.uniform(-8, H + 8, (B, K))], -1),
+                      jnp.float32)
+    ref = l2_normalize(sample_bicubic(maps, pos, (H, W)))
+    got = sample_bicubic_fused(maps, pos, (H, W), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2)
