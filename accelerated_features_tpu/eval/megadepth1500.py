@@ -25,7 +25,7 @@ from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from ..geometry import estimate_relative_pose
+from ..geometry import get_pose_estimator
 from .metrics import pose_errors_to_summary, relative_pose_error
 
 DEFAULT_JSON = "/root/reference/assets/megadepth_1500.json"
@@ -59,9 +59,12 @@ def _resize_pair_images(im0, im1, pair, cv2):
 
 def compute_pose_error(pair: dict, mkpts0: np.ndarray, mkpts1: np.ndarray,
                        scale0=(1.0, 1.0), scale1=(1.0, 1.0),
-                       ransac_thr: float = 2.5) -> Dict[str, float]:
+                       ransac_thr: float = 2.5,
+                       pose_backend: str = "posekit") -> Dict[str, float]:
     """Rescale matches to intrinsic resolution, estimate pose, angular errors
-    (reference megadepth1500.py:88-131)."""
+    (reference megadepth1500.py:88-131). `pose_backend`: "posekit" (native
+    5-pt LO-RANSAC, accuracy default) or "tpu" (batched-hypothesis 8-pt
+    MSAC on the accelerator, throughput mode)."""
     K0 = np.asarray(pair["K0"], np.float64)
     K1 = np.asarray(pair["K1"], np.float64)
     T_0to1 = np.asarray(pair["T_0to1"], np.float64)
@@ -73,9 +76,9 @@ def compute_pose_error(pair: dict, mkpts0: np.ndarray, mkpts1: np.ndarray,
            "n_inliers": 0}
     if len(mkpts0) < 5:
         return err
-    res = estimate_relative_pose(mkpts0, mkpts1, K0, K1,
-                                 max_epipolar_error=ransac_thr,
-                                 success_prob=0.99999)
+    res = get_pose_estimator(pose_backend)(mkpts0, mkpts1, K0, K1,
+                                           max_epipolar_error=ransac_thr,
+                                           success_prob=0.99999)
     if res is None:
         return err
     R, t, mask = res
@@ -88,7 +91,8 @@ def run_benchmark(matcher_fn: MatcherFn, data_root: str,
                   json_path: str = DEFAULT_JSON,
                   ransac_thr: float = 2.5,
                   limit: Optional[int] = None,
-                  progress: bool = True) -> Dict[str, float]:
+                  progress: bool = True,
+                  pose_backend: str = "posekit") -> Dict[str, float]:
     """Full image-based benchmark (requires the megadepth_test_1500 images
     under `data_root`, reference download.py)."""
     import cv2
@@ -111,7 +115,7 @@ def run_benchmark(matcher_fn: MatcherFn, data_root: str,
         im0, im1, sc0, sc1 = _resize_pair_images(im0, im1, pair, cv2)
         mk0, mk1 = matcher_fn(im0, im1)
         errors.append(compute_pose_error(pair, mk0, mk1, sc0, sc1,
-                                         ransac_thr))
+                                         ransac_thr, pose_backend))
     summary = pose_errors_to_summary(errors)
     summary["mean_matches"] = float(np.mean([e["n_matches"] for e in errors]))
     summary["mean_inliers"] = float(np.mean([e["n_inliers"] for e in errors]))
@@ -120,9 +124,12 @@ def run_benchmark(matcher_fn: MatcherFn, data_root: str,
 
 def run_benchmark_precomputed(matches: List[Tuple[np.ndarray, np.ndarray]],
                               pairs: List[dict],
-                              ransac_thr: float = 2.5) -> Dict[str, float]:
+                              ransac_thr: float = 2.5,
+                              pose_backend: str = "posekit"
+                              ) -> Dict[str, float]:
     """Benchmark from precomputed correspondences (for tests / cached runs)."""
-    errors = [compute_pose_error(pair, mk0, mk1, ransac_thr=ransac_thr)
+    errors = [compute_pose_error(pair, mk0, mk1, ransac_thr=ransac_thr,
+                                 pose_backend=pose_backend)
               for (mk0, mk1), pair in zip(matches, pairs)]
     return pose_errors_to_summary(errors)
 
@@ -166,12 +173,16 @@ def main():
     ap.add_argument("--top_k", type=int, default=4096)
     ap.add_argument("--ransac_thr", type=float, default=2.5)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--pose_backend", type=str, default="posekit",
+                    choices=["posekit", "tpu"],
+                    help="posekit: native 5-pt LO-RANSAC (accuracy); "
+                         "tpu: batched 8-pt MSAC on-device (throughput)")
     args = ap.parse_args()
 
     fn = make_matcher(args.matcher, args.top_k, args.weights,
                       lg_weights=args.lg_weights)
     summary = run_benchmark(fn, args.data_root, args.json, args.ransac_thr,
-                            args.limit)
+                            args.limit, pose_backend=args.pose_backend)
     print(json.dumps(summary, indent=2))
 
 

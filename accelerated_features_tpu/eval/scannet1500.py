@@ -89,11 +89,13 @@ def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
 
 
 def _pose_error_one(args):
-    mk0, mk1, K, T_0to1, thr = args
+    mk0, mk1, K, T_0to1, thr, backend = args
     err = {"R_err": 180.0, "t_err": 180.0}
     if len(mk0) >= 5:
-        res = estimate_relative_pose(mk0, mk1, K, K, max_epipolar_error=thr,
-                                     success_prob=0.99999)
+        from ..geometry import get_pose_estimator
+        res = get_pose_estimator(backend)(mk0, mk1, K, K,
+                                          max_epipolar_error=thr,
+                                          success_prob=0.99999)
         if res is not None:
             R, t, _ = res
             err = relative_pose_error(T_0to1, R, t)
@@ -102,7 +104,8 @@ def _pose_error_one(args):
 
 def run_threshold_sweep(matches, gt: List[dict], thresholds=THRESHOLDS,
                         workers: int = 0,
-                        cache_dir: Optional[str] = None
+                        cache_dir: Optional[str] = None,
+                        pose_backend: str = "posekit"
                         ) -> Dict[str, Dict[str, float]]:
     """Evaluate every RANSAC threshold; reference sweeps and reports the
     best-mean threshold (scannet1500.py:258-311). With `cache_dir`,
@@ -117,8 +120,11 @@ def run_threshold_sweep(matches, gt: List[dict], thresholds=THRESHOLDS,
         if err_path and os.path.exists(err_path):
             pose_errs = np.load(err_path).tolist()
         else:
-            jobs = [(m[0], m[1], g["K"], g["T_0to1"], thr)
+            jobs = [(m[0], m[1], g["K"], g["T_0to1"], thr, pose_backend)
                     for m, g in zip(matches, gt)]
+            if workers > 1 and pose_backend == "tpu":
+                raise ValueError("pose_backend='tpu' is single-process "
+                                 "(one device); use workers<=1")
             if workers > 1:
                 # spawn (not fork): the parent may hold a live TPU client,
                 # and spawned workers only need numpy + the ctypes posekit
@@ -151,7 +157,8 @@ def run_benchmark(matcher_fn, data_root: str, npz_path: str,
                   cache_path: Optional[str] = None,
                   workers: int = 0,
                   cache_dir: Optional[str] = None,
-                  summary_path: Optional[str] = None) -> Dict[str, float]:
+                  summary_path: Optional[str] = None,
+                  pose_backend: str = "posekit") -> Dict[str, float]:
     pairs = load_pair_list(npz_path)
     matches = extract_matches(matcher_fn, data_root, pairs, cache_path)
     gt = []
@@ -161,7 +168,8 @@ def run_benchmark(matcher_fn, data_root: str, npz_path: str,
                           read_pose(os.path.join(data_root, pair["pose1"])))
         gt.append({"K": K, "T_0to1": T})
     sweep = run_threshold_sweep(matches, gt, workers=workers,
-                                cache_dir=cache_dir)
+                                cache_dir=cache_dir,
+                                pose_backend=pose_backend)
     best = best_result(sweep)
     if summary_path:
         with open(summary_path, "w") as f:
@@ -217,7 +225,13 @@ def main():
     ap.add_argument("--out", type=str, default=None,
                     help="write the full sweep + best summary JSON here")
     ap.add_argument("--workers", type=int, default=os.cpu_count())
+    ap.add_argument("--pose_backend", type=str, default="posekit",
+                    choices=["posekit", "tpu"],
+                    help="posekit: native 5-pt LO-RANSAC (accuracy); "
+                         "tpu: batched 8-pt MSAC on-device (single-process)")
     args = ap.parse_args()
+    if args.pose_backend == "tpu":
+        args.workers = 1
 
     if args.show is not None:
         report(args.show)
@@ -230,7 +244,8 @@ def main():
                       lg_weights=args.lg_weights)
     print(json.dumps(run_benchmark(fn, args.data_root, args.npz, args.cache,
                                    args.workers, cache_dir=args.cache_dir,
-                                   summary_path=args.out), indent=2))
+                                   summary_path=args.out,
+                                   pose_backend=args.pose_backend), indent=2))
 
 
 if __name__ == "__main__":

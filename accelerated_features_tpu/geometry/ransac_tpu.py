@@ -17,6 +17,8 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -194,6 +196,59 @@ def ransac_essential_tpu(p0: jax.Array, p1: jax.Array, K0: jax.Array,
     R = so3_exp(wvec)
     return RansacResult(R=R, t=t, E=E, inliers=inliers,
                         num_inliers=jnp.sum(inliers))
+
+
+def _pad_bucket(n: int) -> int:
+    """Round match counts up to a small set of buckets so the jitted RANSAC
+    compiles a handful of programs instead of one per pair."""
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
+def estimate_relative_pose_tpu(pts0: np.ndarray, pts1: np.ndarray,
+                               K0: np.ndarray, K1: np.ndarray,
+                               max_epipolar_error: float = 2.5,
+                               n_hypotheses: int = 512,
+                               seed: int = 0,
+                               success_prob: float = 0.99999,
+                               max_iters: int = 10_000):
+    """Drop-in TPU-backed counterpart of geometry.pose.estimate_relative_pose
+    (same host contract: numpy in, (R, t, inlier_mask) or None out).
+
+    Pads the correspondence list to a power-of-two bucket (masked rows) so
+    repeat calls reuse a few compiled programs; runs the batched-hypothesis
+    8-pt MSAC + Sampson Gauss-Newton LO on the accelerator. Selectable via
+    `pose_backend="tpu"` in the eval harnesses (VERDICT r1 #9); the native
+    posekit 5-pt LO-RANSAC stays the accuracy-default. `success_prob` and
+    `max_iters` are accepted for signature compatibility but unused — the
+    hypothesis count is fixed (`n_hypotheses`), not adaptive."""
+    pts0 = np.asarray(pts0, np.float64)
+    pts1 = np.asarray(pts1, np.float64)
+    n = len(pts0)
+    if n < 8:
+        return None
+    m = _pad_bucket(n)
+    p0 = np.zeros((m, 2), np.float32)
+    p1 = np.zeros((m, 2), np.float32)
+    p0[:n] = pts0
+    p1[:n] = pts1
+    valid = np.zeros((m,), bool)
+    valid[:n] = True
+    res = ransac_essential_tpu(
+        jnp.asarray(p0), jnp.asarray(p1),
+        jnp.asarray(np.asarray(K0, np.float32)),
+        jnp.asarray(np.asarray(K1, np.float32)),
+        jnp.asarray(valid), max_epipolar_error,
+        n_hypotheses=n_hypotheses, key=jax.random.key(seed))
+    ninl = int(res.num_inliers)
+    if ninl < 5:
+        return None
+    R = np.asarray(res.R, np.float64)
+    t = np.asarray(res.t, np.float64)
+    mask = np.asarray(res.inliers)[:n]
+    return R, t, mask
 
 
 def ransac_essential_batch(p0, p1, K0, K1, valid=None,

@@ -13,7 +13,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..geometry import estimate_relative_pose
+from ..geometry import get_pose_estimator
 from .ba import BAProblem
 from .lie import se3_from_Rt
 
@@ -39,14 +39,16 @@ def triangulate_linear(P0: np.ndarray, P1: np.ndarray, x0: np.ndarray,
 
 def two_view_reconstruction(mkpts0: np.ndarray, mkpts1: np.ndarray,
                             K: np.ndarray,
-                            max_epipolar_error: float = 2.5
+                            max_epipolar_error: float = 2.5,
+                            pose_backend: str = "posekit"
                             ) -> Optional[Tuple[BAProblem, np.ndarray]]:
     """Pose + triangulated map from one image pair's matches.
 
     Returns (BAProblem with 2 cameras (cam0 gauge-fixed), inlier mask),
-    or None if the pose can't be estimated."""
-    res = estimate_relative_pose(mkpts0, mkpts1, K, K,
-                                 max_epipolar_error=max_epipolar_error)
+    or None if the pose can't be estimated. `pose_backend`: "posekit"
+    (native 5-pt LO-RANSAC) or "tpu" (batched 8-pt MSAC on-device)."""
+    res = get_pose_estimator(pose_backend)(
+        mkpts0, mkpts1, K, K, max_epipolar_error=max_epipolar_error)
     if res is None:
         return None
     R, t, mask = res

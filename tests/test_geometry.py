@@ -184,3 +184,50 @@ def test_tpu_ransac_batched():
         err_r, err_t = _angular_errors(np.asarray(batch.R[b]),
                                        np.asarray(batch.t[b]), R_gt, t_gt)
         assert err_r < 2.0 and err_t < 4.0
+
+
+def test_pose_backend_registry():
+    """get_pose_estimator: both backends share the host contract and agree
+    with ground truth on the synthetic scene (VERDICT r1 #9 — the TPU
+    RANSAC as a selectable mode). Reports the accuracy delta."""
+    from accelerated_features_tpu.geometry import get_pose_estimator
+
+    p0, p1, K, R_gt, t_gt, _ = _synth_scene(seed=11, outlier_frac=0.3)
+    errs = {}
+    for backend in ["posekit", "tpu"]:
+        fn = get_pose_estimator(backend)
+        res = fn(p0, p1, K, K, max_epipolar_error=1.5, success_prob=0.99999)
+        assert res is not None, backend
+        R, t, mask = res
+        assert mask.shape == (len(p0),) and mask.dtype == bool
+        err_r, err_t = _angular_errors(R, t, R_gt, t_gt)
+        errs[backend] = (err_r, err_t)
+    assert errs["posekit"][0] < 1.0 and errs["posekit"][1] < 2.0
+    assert errs["tpu"][0] < 2.0 and errs["tpu"][1] < 4.0
+    # sanity on drop-in shape: short lists return None on both
+    assert get_pose_estimator("tpu")(p0[:4], p1[:4], K, K) is None
+    with pytest.raises(ValueError):
+        get_pose_estimator("magic")
+
+
+def test_megadepth_precomputed_tpu_backend():
+    """MegaDepth harness end-to-end with pose_backend='tpu' on synthetic
+    correspondences: AUC close to the posekit backend."""
+    from accelerated_features_tpu.eval.megadepth1500 import (
+        run_benchmark_precomputed)
+
+    pairs, matches = [], []
+    for seed in range(6):
+        p0, p1, K, R_gt, t_gt, _ = _synth_scene(seed=seed, n=250,
+                                                outlier_frac=0.2)
+        T = np.eye(4)
+        T[:3, :3] = R_gt
+        T[:3, 3] = t_gt
+        pairs.append({"K0": K, "K1": K, "T_0to1": T})
+        matches.append((p0, p1))
+    s_pk = run_benchmark_precomputed(matches, pairs, ransac_thr=1.5,
+                                     pose_backend="posekit")
+    s_tpu = run_benchmark_precomputed(matches, pairs, ransac_thr=1.5,
+                                      pose_backend="tpu")
+    assert s_pk["auc@5"] > 0.5
+    assert s_tpu["auc@5"] > s_pk["auc@5"] - 0.25
