@@ -38,13 +38,18 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
 
 def detect_and_compute(params: Dict[str, Any], images: jax.Array,
                        top_k: int = 4096, detection_threshold: float = 0.05,
-                       compute_dtype: jnp.dtype = jnp.float32
+                       compute_dtype: jnp.dtype = jnp.float32,
+                       topk_approx_recall=0.9999
                        ) -> Dict[str, jax.Array]:
     """Sparse keypoints + scores + 64-D descriptors (xfeat.py:49-103).
 
     Returns dict with fixed shapes:
       keypoints (B,K,2) f32 xy in input-image coords, scores (B,K),
       descriptors (B,K,64) L2-normalized, valid (B,K) bool.
+
+    `topk_approx_recall`: recall target for the TPU-accelerated keypoint
+    selection on the fused bf16 path (see pallas.detect_fused); None for
+    exact selection. Only consulted when the fused path is taken.
     """
     x, rh, rw = preprocess_image(images)
     H, W = x.shape[1], x.shape[2]
@@ -59,13 +64,14 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
                  and H % 16 == 0 and W % 2 == 0)
     if use_fused:
         # Pallas fused NMS+score+2x2-reduce kernel with the winner index
-        # packed into the score int (identical keypoint sets; ordering may
-        # differ within ~3e-4 score ties; covers all /32-divisible sizes
-        # incl. 800x608 and the MegaDepth eval resolutions)
+        # packed into the score mantissa (identical keypoint sets; ordering
+        # may differ within ~3e-4 score ties; covers all /32-divisible
+        # sizes incl. 800x608 and the MegaDepth eval resolutions)
         from .pallas.detect_fused import topk_keypoints_fused
         kpts_i, scores = topk_keypoints_fused(
             kheat, heat[..., 0].astype(jnp.float32), top_k,
-            detection_threshold, interpret=False)
+            detection_threshold, interpret=False,
+            approx_recall=topk_approx_recall)
     else:
         scores_dense = score_map(kheat, heat[..., 0].astype(jnp.float32),
                                  detection_threshold)

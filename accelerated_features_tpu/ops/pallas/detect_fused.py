@@ -9,14 +9,15 @@ in HBM and pays a 39 MB tile-transpose before top-k):
   --5x5 separable local-max + threshold--> NMS mask
   --reliability lerp (two banded matmuls on the MXU)--> rel_up (H, W)
   --score = heat * rel_up masked to -1--> scores
-  --exact 2x2 tile max + winner index--> packed int32 (H/2, W/2)
+  --exact 2x2 tile max + winner index--> packed f32 (H/2, W/2)
 
-The 2x2 winner's sub-pixel index is PACKED into the low 2 bits of an
-order-preserving int32 image of the f32 score (sign-folded bitcast), so the
-finisher is ONE `lax.top_k` over int32 — no `take_along_axis` gather (the
-gather dominated the stage at ~9 ms/batch VGA b64). Score decode loses the
-2 low mantissa bits (~2e-7 relative) — far below the 3e-4 tie window the
-XLA path already tolerates.
+The 2x2 winner's sub-pixel index is PACKED into the low 2 MANTISSA bits of
+the f32 score (positive-f32 bit order == value order), so the finisher is
+ONE value-ordered selection — `lax.top_k` (exact) or `lax.approx_max_k`
+(TPU-accelerated, recall 0.9999 default; 5.7 ms vs 16.6 ms at 1024x768
+b64) — with no `take_along_axis` gather. Score decode loses the 2 low
+mantissa bits (~2e-7 relative) — far below the 3e-4 tie window the XLA
+path already tolerates.
 
 Works for any even H, W (lane shifts are explicit slice+pad, not 128-lane
 rolls), so 800x608 training/eval and all /32-divisible MegaDepth sizes take
@@ -30,7 +31,7 @@ simply (batch,).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,10 +73,15 @@ def _shift1(x, axis, fill):
     return jnp.where(ids == n - 1, jnp.float32(fill), sh)
 
 
-def _order_key(f):
-    """Order-preserving f32 -> int32 (sign-folded bitcast)."""
-    i = pltpu.bitcast(f, jnp.int32)
-    return jnp.where(i >= 0, i, i ^ jnp.int32(0x7FFFFFFF))
+def _pack_sub(best, sub):
+    """Pack the 2x2 winner index into the low 2 MANTISSA bits of the f32
+    score. For positive f32, bit pattern order == value order, so the
+    packed array still sorts correctly by value — it feeds `lax.top_k`
+    (exact) or `lax.approx_max_k` (TPU-accelerated) directly, no gather.
+    Invalid slots (-1.0) only get infinitesimally more negative."""
+    bi = pltpu.bitcast(best, jnp.int32)
+    return pltpu.bitcast((bi & jnp.int32(~3)) | sub.astype(jnp.int32),
+                         jnp.float32)
 
 
 def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
@@ -149,8 +155,7 @@ def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
 
     best = compact(pairmax)                       # (H/2, W/2) f32
     sub = compact(sub_f)                          # (H/2, W/2) in {0..3}
-    key = _order_key(best)
-    packed_ref[0] = (key & jnp.int32(~3)) | sub.astype(jnp.int32)
+    packed_ref[0] = _pack_sub(best, sub)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -180,7 +185,7 @@ def _detect_call(kheat, rel, mw, mh, mc, thr, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, H // 2, W // 2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.float32),
         interpret=interpret,
     )(thr, kheat, rel, mw, mh, mc)
 
@@ -188,9 +193,9 @@ def _detect_call(kheat, rel, mw, mh, mc, thr, interpret=False):
 def detect_scores_fused(kheat: jax.Array, reliability: jax.Array,
                         detection_threshold: float = 0.05,
                         interpret=None) -> jax.Array:
-    """(B,H,W) decoded heatmap + (B,h,w) reliability -> packed int32
-    (B,H/2,W/2): order-preserving score key with the 2x2 winner index in
-    the low 2 bits."""
+    """(B,H,W) decoded heatmap + (B,h,w) reliability -> packed f32
+    (B,H/2,W/2): the 2x2-reduced score with the winner index embedded in
+    the low 2 mantissa bits (value order preserved; invalid slots < 0)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, H, W = kheat.shape
@@ -207,24 +212,39 @@ def detect_scores_fused(kheat: jax.Array, reliability: jax.Array,
 
 def topk_keypoints_fused(kheat: jax.Array, reliability: jax.Array,
                          top_k: int, detection_threshold: float = 0.05,
-                         interpret=None) -> Tuple[jax.Array, jax.Array]:
+                         interpret=None,
+                         approx_recall: Optional[float] = 0.9999
+                         ) -> Tuple[jax.Array, jax.Array]:
     """Fused replacement for score_map + topk_keypoints (feed it the
     heatmap_decode output). Returns ((B,K,2) int xy, (B,K) scores), same
-    contract as ops.detect.topk_keypoints (scores within 2 mantissa LSBs)."""
+    contract as ops.detect.topk_keypoints (scores within 2 mantissa LSBs).
+
+    `approx_recall`: when set and running compiled on TPU, the selection
+    uses the hardware-accelerated `lax.approx_max_k` at this recall target
+    (default 0.9999 — expected < 1 of 4096 keypoints differing from exact,
+    and only in the lowest-score tail; measured 5.7 ms vs 16.6 ms for exact
+    `lax.top_k` at 1024x768 b64). Pass None for exact selection. On CPU /
+    interpret runs the exact path is always used (jax lowers approx_max_k
+    to exact top_k there anyway)."""
     packed = detect_scores_fused(kheat, reliability, detection_threshold,
                                  interpret)
     b, h2, w2 = packed.shape
-    from ..detect import _padded_top_k
-    top, idx = _padded_top_k(packed.reshape(b, -1), top_k)
-    # padded slots carry idx 0 / score -1: force their packed key negative
-    # so the decoded score stays < 0 (invalid) regardless of cell (0,0)
-    if top_k > h2 * w2:
-        ids = jax.lax.broadcasted_iota(jnp.int32, top.shape, 1)
-        top = jnp.where(ids < h2 * w2, top, jnp.int32(-2 << 24))
-    sub_sel = top & 3
-    key = top & jnp.int32(~3)
-    key = jnp.where(key >= 0, key, key ^ jnp.int32(0x7FFFFFFF))
-    scores = jax.lax.bitcast_convert_type(key, jnp.float32)
+    flat = packed.reshape(b, -1)
+    use_approx = (approx_recall is not None and not interpret
+                  and jax.default_backend() == "tpu"
+                  and top_k <= h2 * w2)
+    if use_approx:
+        top, idx = jax.lax.approx_max_k(flat, top_k,
+                                        recall_target=approx_recall)
+    else:
+        from ..detect import _padded_top_k
+        top, idx = _padded_top_k(flat, top_k)
+        if top_k > h2 * w2:
+            # padded slots carry idx 0 / score -1.0 (already invalid)
+            pass
+    ti = jax.lax.bitcast_convert_type(top, jnp.int32)
+    sub_sel = ti & 3
+    scores = jax.lax.bitcast_convert_type(ti & jnp.int32(~3), jnp.float32)
     ty = idx // w2
     tx = idx % w2
     ys = (ty * 2 + sub_sel // 2).astype(jnp.int32)

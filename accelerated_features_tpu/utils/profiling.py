@@ -45,6 +45,61 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3,
     return (time.perf_counter() - t0) / iters
 
 
+def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
+    """Steady-state seconds/call measured INSIDE one compiled program.
+
+    `time_fn` trusts `block_until_ready`, which on relayed/remote device
+    platforms can return before execution finishes (measured here: a 1.1
+    TFLOP matmul "completing" in 30 us) or, with per-iteration blocking,
+    fold in a ~25 ms host round-trip per sync. This variant runs the op
+    `iters` times inside a single jitted `lax.scan` — one dispatch, one
+    readback — so neither failure mode applies.
+
+    Loop-invariant hoisting is defeated by adding the (scaled) iteration
+    index to the first floating-point argument each step, so every
+    iteration does the real work on fresh bytes; the perturbation add is
+    a small, documented overhead (one extra read+write of that operand).
+    The scalar chained through the carry makes each iteration's output
+    live. Returns (t_total - t_warmupless_overhead) / iters using a
+    second scan of 1 iteration to subtract dispatch+readback latency.
+    """
+    import jax.numpy as jnp
+
+    flat, tree = jax.tree_util.tree_flatten(args)
+    f_idx = next(i for i, a in enumerate(flat)
+                 if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                          jnp.floating))
+
+    def run(n_static, xs):
+        def body(carry, i):
+            acc = carry
+            cur = list(xs)
+            cur[f_idx] = cur[f_idx] + (i * 1e-12).astype(cur[f_idx].dtype)
+            out = fn(*jax.tree_util.tree_unflatten(tree, cur))
+            # barrier forces every output leaf to fully materialize (without
+            # it XLA dead-code-eliminates all but the single element the
+            # carry consumes); afterwards one element keeps the chain live
+            out = jax.lax.optimization_barrier(out)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return acc + leaf.reshape(-1)[0].astype(jnp.float32) * 0.0, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(n_static, dtype=jnp.int32))
+        return acc
+
+    runN = jax.jit(run, static_argnums=0)
+    import numpy as np
+    for _ in range(max(warmup, 1)):        # compile both lengths
+        np.asarray(runN(iters, flat))
+        np.asarray(runN(1, flat))
+    t0 = time.perf_counter()
+    np.asarray(runN(iters, flat))
+    tN = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(runN(1, flat))
+    t1 = time.perf_counter() - t0
+    return max(tN - t1, 1e-9) / (iters - 1)
+
+
 def speed_of_light(seconds: float, flops: float = 0.0, bytes_moved: float = 0.0,
                    dtype: str = "bf16") -> Dict[str, float]:
     """Fraction of per-chip peak achieved + the roofline-implied floor."""

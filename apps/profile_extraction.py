@@ -19,15 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=30, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+def timeit(fn, *args, n=20, warmup=3):
+    # in-program scan timing: immune to the relay's unreliable
+    # block_until_ready (see utils.profiling.scan_time docstring)
+    from accelerated_features_tpu.utils.profiling import scan_time
+    return scan_time(fn, *args, iters=n)
 
 
 def main():
