@@ -402,3 +402,46 @@ def pair_correspondences(pair: Dict[str, jax.Array], cfg: AugConfig,
 
     return jax.vmap(per_item)(pair["H1"], pair["H2"], *pair["tps2"],
                               pair["mask1"], pair["mask2"])
+
+
+def pair_correspondences_full(pair: Dict[str, jax.Array], cfg: AugConfig,
+                              key: jax.Array, grid_scale: int = 8):
+    """FULL-resolution GT correspondences from a sub-pixel-jittered grid —
+    input for the teacher-free keypoint_position_loss (reference
+    losses.py:111-168).
+
+    That loss hashes view-1 positions at arbitrary integer pixels and reads
+    8x8 in-cell offset labels from view-2 positions, so BOTH sides must
+    carry sub-cell offsets: grid-aligned points on the hash side are only
+    reachable by bin-0 argmaxes, and on the label side make every label
+    bin 0. A uniform [0, grid_scale) jitter per view-2 grid point fixes
+    both. No per-cell dedup (the loss's write-last-wins hashmap is the
+    dedup, as in the reference).
+
+    Returns corrs_full (B, n, 4) (x1, y1, x2, y2) full-res + mask (B, n).
+    """
+    ow, oh = cfg.out_resolution
+    gw, gh = ow // grid_scale, oh // grid_scale
+    gx = jnp.arange(gw, dtype=jnp.float32)
+    gy = jnp.arange(gh, dtype=jnp.float32)
+    mesh = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), -1).reshape(-1, 2)
+    b = pair["H1"].shape[0]
+    jitter = jax.random.uniform(key, (b, mesh.shape[0], 2),
+                                minval=0.0, maxval=float(grid_scale))
+    tgt = mesh[None] * grid_scale + jitter                 # (B, n, 2) float
+
+    def per_item(tgt_out, H1, H2, ctrl, dst, wgt, aff, m1, m2):
+        src_out = view2_to_view1(tgt_out, H1, H2, cfg, (ctrl, dst, wgt, aff))
+        inb = ((src_out[:, 0] >= 0) & (src_out[:, 0] < ow) &
+               (src_out[:, 1] >= 0) & (src_out[:, 1] < oh) &
+               (tgt_out[:, 0] < ow) & (tgt_out[:, 1] < oh))
+        xi = jnp.clip(src_out[:, 0].astype(jnp.int32), 0, ow - 1)
+        yi = jnp.clip(src_out[:, 1].astype(jnp.int32), 0, oh - 1)
+        ti = jnp.clip(tgt_out[:, 0].astype(jnp.int32), 0, ow - 1)
+        tj = jnp.clip(tgt_out[:, 1].astype(jnp.int32), 0, oh - 1)
+        good = inb & m1[yi, xi] & m2[tj, ti]
+        corr = jnp.concatenate([src_out, tgt_out], -1)
+        return jnp.where(good[:, None], corr, 0.0), good
+
+    return jax.vmap(per_item)(tgt, pair["H1"], pair["H2"], *pair["tps2"],
+                              pair["mask1"], pair["mask2"])

@@ -19,13 +19,69 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 
+class S3Client:
+    """Minimal s3:// object reader (reference megadepth/utils.py:25-58 uses
+    an internal petrel client; this is the boto3 equivalent). Lazily
+    constructed so local-disk training never imports boto3 (not bundled in
+    this image — install it where S3 access is actually needed)."""
+
+    def __init__(self, endpoint_url: Optional[str] = None):
+        try:
+            import boto3
+        except ImportError as e:
+            raise RuntimeError(
+                "s3:// paths need boto3 (pip install boto3)") from e
+        self._s3 = boto3.client("s3", endpoint_url=endpoint_url)
+
+    def get(self, path: str) -> bytes:
+        bucket, _, key = path[len("s3://"):].partition("/")
+        return self._s3.get_object(Bucket=bucket, Key=key)["Body"].read()
+
+
+def read_bytes(path: str, client: Optional[S3Client] = None) -> bytes:
+    """Local-or-S3 byte read (reference load_array_from_s3 dispatch,
+    megadepth/utils.py:45-50)."""
+    if str(path).startswith("s3://"):
+        return (client or S3Client()).get(str(path))
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def imread_gray(path: str, client: Optional[S3Client] = None):
+    """Grayscale image from disk or S3 (reference imread_gray,
+    megadepth/utils.py:45-58). Returns None if the image can't decode."""
+    import cv2
+    if str(path).startswith("s3://"):
+        raw = np.frombuffer(read_bytes(path, client), np.uint8)
+        return cv2.imdecode(raw, cv2.IMREAD_GRAYSCALE)
+    return cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+
+
+def load_depth_h5(path: str, client: Optional[S3Client] = None
+                  ) -> Optional[np.ndarray]:
+    """HDF5 '/depth' array from disk or S3 (reference megadepth/utils.py:
+    33-36,151-160)."""
+    import io
+
+    import h5py
+    if str(path).startswith("s3://"):
+        buf = io.BytesIO(read_bytes(path, client))
+        with h5py.File(buf, "r") as f:
+            return np.asarray(f["depth"], np.float32)
+    if not os.path.exists(path):
+        return None
+    with h5py.File(path, "r") as f:
+        return np.asarray(f["depth"], np.float32)
+
+
 def fix_path_from_d2net(path: str) -> str:
     """Path fixups carried over from the d2-net index format (reference
     megadepth/utils.py:100-108)."""
     if path is None:
         return None
     path = path.replace("Undistorted_SfM/", "")
-    path = path.replace(".jpg", ".JPG") if not os.path.exists(path) else path
+    if not path.startswith("s3://") and not os.path.exists(path):
+        path = path.replace(".jpg", ".JPG")
     return path
 
 
@@ -49,10 +105,12 @@ class MegaDepthDataset:
     def __init__(self, root_dir: str, npz_path: str,
                  image_size: Tuple[int, int] = (800, 608),
                  depth_pad: int = 2000,
-                 min_overlap: float = 0.3, max_overlap: float = 1.0):
+                 min_overlap: float = 0.3, max_overlap: float = 1.0,
+                 client: Optional[S3Client] = None):
         self.root = root_dir
         self.image_size = image_size  # (W, H)
         self.depth_pad = depth_pad
+        self.client = client  # set (or let it lazy-init) for s3:// roots
         info = np.load(npz_path, allow_pickle=True)
         self.image_paths = info["image_paths"]
         self.depth_paths = info["depth_paths"]
@@ -63,10 +121,15 @@ class MegaDepthDataset:
     def __len__(self):
         return len(self.pairs)
 
+    def _join(self, rel: str) -> str:
+        if self.root.startswith("s3://"):
+            return self.root.rstrip("/") + "/" + str(rel)
+        return os.path.join(self.root, str(rel))
+
     def _load_view(self, idx: int):
         import cv2
-        path = os.path.join(self.root, str(self.image_paths[idx]))
-        img = cv2.imread(fix_path_from_d2net(path), cv2.IMREAD_GRAYSCALE)
+        path = self._join(self.image_paths[idx])
+        img = imread_gray(fix_path_from_d2net(path), self.client)
         if img is None:
             raise FileNotFoundError(path)
         W, H = self.image_size
@@ -74,11 +137,8 @@ class MegaDepthDataset:
         img = cv2.resize(img, (W, H)).astype(np.float32) / 255.0
 
         depth = np.zeros((self.depth_pad, self.depth_pad), np.float32)
-        dpath = os.path.join(self.root, str(self.depth_paths[idx]))
-        if os.path.exists(dpath):
-            import h5py
-            with h5py.File(dpath, "r") as f:
-                d = np.asarray(f["depth"], np.float32)
+        d = load_depth_h5(self._join(self.depth_paths[idx]), self.client)
+        if d is not None:
             depth[:d.shape[0], :d.shape[1]] = d
 
         K = np.asarray(self.intrinsics[idx], np.float32).reshape(3, 3)

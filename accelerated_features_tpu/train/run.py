@@ -32,11 +32,12 @@ import jax.numpy as jnp
 from ..models.params import init_xfeat_params
 from ..parallel.mesh import make_mesh
 from ..utils.checkpoint import resume_or_init, save_checkpoint
-from .augmentation import AugConfig, make_pair, pair_correspondences
+from .augmentation import (AugConfig, make_pair, pair_correspondences,
+                           pair_correspondences_full)
 from .megadepth import ImageFolderSource, MegaDepthLoader
 from .trainer import (TrainConfig, init_train_state, make_sharded_train_step,
                       train_step)
-from .warp import corr_to_fixed, spvs_coarse
+from .warp import corr_to_fixed, spvs_coarse, spvs_full
 
 
 def parse_args():
@@ -80,13 +81,20 @@ class SyntheticBatcher:
         self._key = jax.random.key(0)
 
         def gen(key, images):
-            pair = make_pair(key, images, cfg, difficulty, tps_prob=0.7)
+            k1, k2 = jax.random.split(key)
+            pair = make_pair(k1, images, cfg, difficulty, tps_prob=0.7)
             corrs, mask = pair_correspondences(pair, cfg)
             corrs, mask = corr_to_fixed(corrs, mask, max_corrs)
+            # independent jittered full-res set for the teacher-free
+            # keypoint_position_loss (rows need not align with `corrs`;
+            # already fixed-shape at one point per /8 cell — kept whole,
+            # since the loss's hashmap hit rate scales with density)
+            cf, cf_mask = pair_correspondences_full(pair, cfg, k2)
             g1 = jnp.mean(pair["view1"], -1, keepdims=True)
             g2 = jnp.mean(pair["view2"], -1, keepdims=True)
             return {"image0": g1, "image1": g2, "corrs": corrs,
-                    "corr_valid": mask}
+                    "corr_valid": mask, "corrs_full": cf,
+                    "corr_full_valid": cf_mask}
 
         self._gen = jax.jit(gen)
 
@@ -103,21 +111,25 @@ class MegaDepthBatcher:
         self.it = loader.infinite()
         self.max_corrs = max_corrs
 
-        def gen(d):
+        def gen(d, key):
             corrs, mask = spvs_coarse(d, 8)
             corrs, mask = corr_to_fixed(
                 jnp.concatenate([corrs[..., :2], corrs[..., 2:]], -1),
                 mask, max_corrs)
+            cf, cf_mask = spvs_full(d, key, 8)
             g0 = jnp.mean(d["image0"], -1, keepdims=True)
             g1 = jnp.mean(d["image1"], -1, keepdims=True)
             return {"image0": g0, "image1": g1, "corrs": corrs,
-                    "corr_valid": mask}
+                    "corr_valid": mask, "corrs_full": cf,
+                    "corr_full_valid": cf_mask}
 
         self._gen = jax.jit(gen)
+        self._key = jax.random.key(1)
 
     def next(self) -> Dict[str, jax.Array]:
         d = next(self.it)
-        return self._gen({k: jnp.asarray(v) for k, v in d.items()})
+        self._key, sub = jax.random.split(self._key)
+        return self._gen({k: jnp.asarray(v) for k, v in d.items()}, sub)
 
 
 def dry_run_batch(batch_size: int, res, max_corrs: int):
@@ -132,6 +144,10 @@ def dry_run_batch(batch_size: int, res, max_corrs: int):
             rng.integers(2, min(H, W) // 8 - 2,
                          (batch_size, max_corrs, 4)), jnp.float32),
         "corr_valid": jnp.ones((batch_size, max_corrs), bool),
+        "corrs_full": jnp.asarray(
+            rng.uniform(16, min(H, W) - 16, (batch_size, max_corrs, 4)),
+            jnp.float32),
+        "corr_full_valid": jnp.ones((batch_size, max_corrs), bool),
     }
 
 
@@ -145,8 +161,11 @@ def main():
     if args.distill_teacher:
         from .utils import make_xfeat_teacher
         teacher_fn = make_xfeat_teacher(args.distill_teacher)
+    # without a teacher, the keypoint head bootstraps teacher-free via
+    # keypoint_position_loss (VERDICT r1 #5; reference losses.py:111-168)
     cfg = TrainConfig(lr=args.lr, lr_gamma=args.gamma_steplr,
-                      use_distill=teacher_fn is not None)
+                      use_distill=teacher_fn is not None,
+                      use_kp_position=teacher_fn is None)
 
     params = init_xfeat_params(jax.random.key(0))
     state = init_train_state(params, cfg)

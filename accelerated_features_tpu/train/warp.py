@@ -48,8 +48,7 @@ def warp_kpts(kpts0: jax.Array, depth0: jax.Array, depth1: jax.Array,
     return valid, warped
 
 
-def spvs_coarse(data: Dict[str, jax.Array], scale: int = 8
-                ) -> Tuple[jax.Array, jax.Array]:
+def spvs_coarse(data: Dict[str, jax.Array], scale: int = 8):
     """Coarse-grid GT correspondences with mutual-reprojection check and
     per-cell dedup (reference spvs_coarse, megadepth_warper.py:86-145),
     fully batched/fixed-shape.
@@ -116,6 +115,50 @@ def spvs_coarse(data: Dict[str, jax.Array], scale: int = 8
     corrs = jnp.concatenate([pts0, pts1], axis=-1)
     corrs = jnp.where(mask[..., None], corrs, 0.0)
     return corrs, mask
+
+
+def spvs_full(data: Dict[str, jax.Array], key: jax.Array, scale: int = 8
+              ) -> Tuple[jax.Array, jax.Array]:
+    """FULL-resolution depth-warped correspondences from a sub-pixel
+    jittered grid — the teacher-free keypoint_position_loss input for
+    MegaDepth pairs (see augmentation.pair_correspondences_full for why
+    both sides must carry sub-cell offsets). Same mutual-reprojection
+    gate as spvs_coarse, no per-cell dedup (the loss's write-last-wins
+    hashmap dedups, reference losses.py:128-130).
+
+    Returns corrs_full (B, h1*w1, 4) (x0, y0, x1, y1) in RESIZED-image
+    pixels + mask."""
+    b, H0, W0 = data["image0"].shape[:3]
+    H1, W1 = data["image1"].shape[1:3]
+    h1, w1 = H1 // scale, W1 // scale
+
+    scale0 = data.get("scale0")
+    scale1 = data.get("scale1")
+    s0 = scale0[:, None, :] if scale0 is not None else jnp.ones((1, 1, 2))
+    s1 = scale1[:, None, :] if scale1 is not None else jnp.ones((1, 1, 2))
+
+    gx = jnp.arange(w1, dtype=jnp.float32)
+    gy = jnp.arange(h1, dtype=jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)
+    jitter = jax.random.uniform(key, (b, h1 * w1, 2),
+                                minval=0.0, maxval=float(scale))
+    pts1_px = grid.reshape(1, h1 * w1, 2) * scale + jitter  # resized px
+    pts1_i = pts1_px * s1                                   # intrinsics px
+
+    valid1, w_pt1 = warp_kpts(pts1_i, data["depth1"], data["depth0"],
+                              data["T_1to0"], data["K1"], data["K0"])
+    valid2, w_back = warp_kpts(w_pt1, data["depth0"], data["depth1"],
+                               data["T_0to1"], data["K0"], data["K1"])
+    dist = jnp.linalg.norm(pts1_i - w_back, axis=-1)
+    mutual = (dist < 1.5) & valid1 & valid2
+
+    pts0_px = w_pt1 / s0                                    # resized px
+    inb = ((pts0_px[..., 0] >= 0) & (pts0_px[..., 0] < W0) &
+           (pts0_px[..., 1] >= 0) & (pts0_px[..., 1] < H0) &
+           (pts1_px[..., 0] < W1) & (pts1_px[..., 1] < H1))
+    mask = mutual & inb
+    corrs_full = jnp.concatenate([pts0_px, pts1_px], axis=-1)
+    return jnp.where(mask[..., None], corrs_full, 0.0), mask
 
 
 def corr_to_fixed(corrs: jax.Array, mask: jax.Array, max_corrs: int

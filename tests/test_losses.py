@@ -343,3 +343,96 @@ def test_fine_loss_parity(ref_losses, monkeypatch):
         jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(pts1),
         jnp.asarray(pts2), jnp.asarray(offs)))
     np.testing.assert_allclose(ours, tref, rtol=1e-4)
+
+
+def test_train_step_kp_position_descends():
+    """Teacher-free mode (use_kp_position + corrs_full): the keypoint head
+    gets a live loss and the total still descends (VERDICT r1 #5)."""
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.train.trainer import (
+        TrainConfig, init_train_state, train_step)
+
+    cfg = TrainConfig(use_distill=False, use_kp_position=True, lr=2e-3)
+    params = init_xfeat_params(jax.random.key(1))
+    state = init_train_state(params, cfg)
+
+    rng = np.random.default_rng(1)
+    B, H, W, M = 2, 64, 64, 32
+    # dense full-res set (one per pixel of a cell -> high hashmap hit rate,
+    # as the real batchers provide one jittered point per /8 cell)
+    Mf = 1024
+    batch = {
+        "image0": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
+        "image1": jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32),
+        "corrs": jnp.asarray(rng.integers(0, H // 8, (B, M, 4)), jnp.float32),
+        "corr_valid": jnp.ones((B, M), bool),
+        "corrs_full": jnp.asarray(rng.uniform(0, H - 1, (B, Mf, 4)),
+                                  jnp.float32),
+        "corr_full_valid": jnp.ones((B, Mf), bool),
+    }
+    step = jax.jit(lambda s, b, r: train_step(s, b, r, cfg))
+    losses, kp = [], []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss_total"]))
+        kp.append(float(metrics["loss_distill"]))
+    assert losses[-1] < losses[0], losses
+    assert kp[0] > 0.0  # the keypoint head is actually supervised
+    assert kp[-1] < kp[0], kp
+
+
+def test_pair_correspondences_full_offsets_nondegenerate():
+    """Full-res jittered GT: both sides must carry sub-cell offsets — a
+    grid-aligned side silently turns keypoint_position_loss into 'always
+    predict bin 0' (label side) or 'only bin-0 argmaxes supervise' (hash
+    side)."""
+    from accelerated_features_tpu.train.augmentation import (
+        AugConfig, make_pair, pair_correspondences_full)
+    rng = np.random.default_rng(2)
+    cfg = AugConfig(warp_resolution=(128, 96), out_resolution=(128, 96))
+    images = jnp.asarray(rng.uniform(0, 1, (2, 96, 128, 3)), jnp.float32)
+    pair = make_pair(jax.random.key(0), images, cfg, 0.1, tps_prob=1.0)
+    cf, mask = jax.jit(lambda p, k: pair_correspondences_full(p, cfg, k))(
+        pair, jax.random.key(3))
+    cf, mask = np.asarray(cf), np.asarray(mask)
+    assert mask.any()
+    v = cf[mask]
+    for col in range(4):
+        offs = np.floor(v[:, col]).astype(int) % 8
+        assert len(np.unique(offs)) >= 6, f"column {col} offsets degenerate"
+    # pairs are warp-consistent: view2->view1 of the target equals source
+    from accelerated_features_tpu.train.augmentation import view2_to_view1
+    b = 0
+    m0 = mask[0]
+    src = jax.jit(lambda t, p: view2_to_view1(
+        t, p["H1"][b], p["H2"][b], cfg,
+        tuple(x[b] for x in p["tps2"])))(jnp.asarray(cf[0][:, 2:]), pair)
+    np.testing.assert_allclose(np.asarray(src)[m0], cf[0][m0][:, :2],
+                               atol=1e-3)
+
+
+def test_spvs_full_offsets_nondegenerate():
+    """MegaDepth full-res jittered GT (spvs_full): sub-cell offsets on both
+    sides + mutual-warp consistency on a synthetic fronto-parallel scene."""
+    from accelerated_features_tpu.train.warp import spvs_full
+    B, H, W = 1, 64, 80
+    depth = np.full((B, H, W), 2.0, np.float32)
+    K = np.asarray([[[100.0, 0, 40], [0, 100.0, 32], [0, 0, 1]]], np.float32)
+    T01 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T01[:, 0, 3] = 0.37  # pure x-translation -> 18.5 px disparity
+    T10 = np.linalg.inv(T01)
+    data = {
+        "image0": jnp.zeros((B, H, W, 1)), "image1": jnp.zeros((B, H, W, 1)),
+        "depth0": jnp.asarray(depth), "depth1": jnp.asarray(depth),
+        "T_0to1": jnp.asarray(T01), "T_1to0": jnp.asarray(T10),
+        "K0": jnp.asarray(K), "K1": jnp.asarray(K),
+    }
+    cf, mask = jax.jit(lambda d, k: spvs_full(d, k))(data, jax.random.key(0))
+    cf, mask = np.asarray(cf), np.asarray(mask)
+    assert mask.sum() > 20
+    v = cf[mask]
+    # cam1 = cam0 + t (t_x > 0) => x1 = x0 + 18.5 px => x0 = x1 - 18.5
+    np.testing.assert_allclose(v[:, 0] - v[:, 2], -18.5, atol=0.2)
+    np.testing.assert_allclose(v[:, 1], v[:, 3], atol=0.2)
+    offs = np.floor(v[:, 2]).astype(int) % 8
+    assert len(np.unique(offs)) >= 6

@@ -189,3 +189,39 @@ def test_point_partition_memory_layout():
     assert (op[om] < ploc).all()
     # observation count is preserved
     assert om.sum() == int(np.asarray(prob.obs_mask).sum())
+
+
+def test_lighterglue_sp_matches_single_device():
+    """Keypoint-sharded LighterGlue (VERDICT r1 #10) == single-device
+    forward: identical matches and confidences on valid rows, O(N*D) ICI."""
+    from accelerated_features_tpu.models.lighterglue import (
+        init_lighterglue_params, lighterglue_forward)
+    from accelerated_features_tpu.parallel import make_mesh
+    from accelerated_features_tpu.parallel.lighterglue_sp import (
+        lighterglue_forward_sp)
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(0)
+    params = init_lighterglue_params(jax.random.key(0))
+    B, M, N = 1, 128, 160
+    k0 = jnp.asarray(rng.uniform(0, 600, (B, M, 2)), jnp.float32)
+    k1 = jnp.asarray(rng.uniform(0, 600, (B, N, 2)), jnp.float32)
+    d0 = jnp.asarray(rng.normal(size=(B, M, 64)), jnp.float32)
+    d1 = jnp.asarray(rng.normal(size=(B, N, 64)), jnp.float32)
+    size = jnp.asarray([[640.0, 480.0]], jnp.float32)
+    m0 = jnp.asarray(np.arange(M)[None] < M - 24)   # padded tails
+    m1 = jnp.asarray(np.arange(N)[None] < N - 16)
+
+    ref = jax.jit(lambda: lighterglue_forward(
+        params, k0, k1, d0, d1, size, size, m0, m1))()
+    got_m, got_s = lighterglue_forward_sp(
+        mesh, params, k0, k1, d0, d1, size, size, m0, m1)
+
+    ref_m = np.asarray(ref["matches0"])
+    ref_s = np.asarray(ref["mscores0"])
+    got_m, got_s = np.asarray(got_m), np.asarray(got_s)
+    v = np.asarray(m0)
+    np.testing.assert_array_equal(got_m[v], ref_m[v])
+    np.testing.assert_allclose(got_s[v], ref_s[v], atol=1e-4)
+    assert (got_m[~v] == -1).all()
+    assert (got_s[~v] == 0).all()
