@@ -66,9 +66,14 @@ def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
     import jax.numpy as jnp
 
     flat, tree = jax.tree_util.tree_flatten(args)
-    f_idx = next(i for i, a in enumerate(flat)
-                 if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
-                                                          jnp.floating))
+    f_idx = next((i for i, a in enumerate(flat)
+                  if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                            jnp.floating)),
+                 None)
+    if f_idx is None:
+        # nothing to perturb -> the scan body would be loop-invariant and
+        # XLA would hoist it; fall back to the wall-clock dispatch loop
+        return time_fn(fn, *args, iters=iters)
 
     def run(n_static, xs):
         def body(carry, i):

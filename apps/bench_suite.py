@@ -33,17 +33,10 @@ def emit(metric, value, unit, baseline=None):
 
 
 def time_call(fn, *args, iters=20):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(3):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    # in-program scan timing: block_until_ready is unreliable through the
+    # remote device relay (see utils/profiling.scan_time docstring)
+    from accelerated_features_tpu.utils.profiling import scan_time
+    return scan_time(fn, *args, iters=iters)
 
 
 def bench_extraction(quick):

@@ -121,24 +121,105 @@ def main():
         sample_bicubic_matmul(f, kp, (H, W)))),
         jax.block_until_ready(featsn), kpts)
 
+    # ---- speed-of-light accounting (VERDICT r1 #1: publish per-stage SoL)
+    # flops/bytes models are per batch; bytes assume each tensor crosses HBM
+    # once per read/write (fusion can beat this, making SoL% > 100 possible
+    # for fused elementwise stages).
+    from accelerated_features_tpu.models.backbone import (BLOCK_CHANNELS,
+                                                          FINAL_CONVS)
+    dsz = 2 if cdt == jnp.bfloat16 else 4
+
+    def conv_cost(hi, wi, cin, cout, stride, k=3):
+        ho, wo = hi // stride, wi // stride
+        fl = 2.0 * B * ho * wo * k * k * cin * cout
+        by = float(B) * (hi * wi * cin + ho * wo * cout) * dsz
+        return fl, by
+
+    def block_cost(name, hi, wi):
+        fl = by = 0.0
+        for (k, s), (cin, cout) in zip(BLOCK_PLANS[name],
+                                       BLOCK_CHANNELS[name]):
+            f, b2 = conv_cost(hi, wi, cin, cout, s, k)
+            fl += f
+            by += b2
+            hi, wi = hi // s, wi // s
+        if name in FINAL_CONVS:
+            cin, cout = FINAL_CONVS[name]
+            f, b2 = conv_cost(hi, wi, cin, cout, 1, 1)
+            fl += f
+            by += b2
+        return fl, by, hi, wi
+
+    def backbone_cost():
+        fl = by = 0.0
+        # stride chain: block1 @ full res -> /4, block2 @ /4, block3 -> /8,
+        # block4 -> /16, block5 -> /32, fusion+heads @ /8
+        hi, wi = H, W
+        for name in ["block1", "block2", "block3", "block4", "block5"]:
+            f, b2, hi, wi = block_cost(name, hi, wi)
+            fl += f
+            by += b2
+        h8, w8 = H // 8, W // 8
+        for name in ["block_fusion", "heatmap_head", "keypoint_head"]:
+            f, b2, _, _ = block_cost(name, h8, w8)
+            fl += f
+            by += b2
+        by += 4.0 * B * h8 * w8 * 64 * dsz  # two bilinear ups + fusion sum
+        return fl, by
+
+    bb_fl, bb_by = backbone_cost()
+    stem_fl, stem_by, _, _ = block_cost("block1", H, W)
+
+    n_half = B * (H // 2) * (W // 2)
+    costs = {
+        "input_norm": (0.0, 3.0 * B * H * W * 4),
+        "stem": (stem_fl, stem_by),
+        "backbone": (bb_fl, bb_by),
+        "decode": (0.0, 2.0 * B * H * W * 4 + B * H * W * 4),
+        # fused NMS: read kheat f32 + rel, write packed quarter-res, then
+        # the top-k pass re-reads the packed map
+        "nms": (2.0 * B * (H * (W // 8) * (W // 8) + H * W * (H // 8)),
+                B * H * W * 4 + 2 * n_half * 4 + n_half * 4),
+        # matmul bicubic: the (B,K,W/8,64) bf16 intermediate write+read
+        # dominates; + feature map read + output write
+        "bicubic": (2.0 * B * K * 64 * ((W // 8) * 4 + 4),
+                    2.0 * B * K * (W // 8) * 64 * 2
+                    + B * (H // 8) * (W // 8) * 64 * 4 + B * K * 64 * 4),
+    }
+    costs["full"] = tuple(map(sum, zip(costs["backbone"], costs["decode"],
+                                       costs["nms"], costs["bicubic"],
+                                       costs["input_norm"])))
+
+    from accelerated_features_tpu.utils.profiling import speed_of_light
+    dts = "bf16" if cdt == jnp.bfloat16 else "f32"
+
+    def sol(t, key):
+        fl, by = costs[key]
+        s = speed_of_light(t, flops=fl, bytes_moved=by, dtype=dts)
+        return s["sol_seconds"] * 1e3, 100.0 * s["sol_frac"]
+
     rows = [
-        ("input_norm", t_in),
-        ("block1.conv1 1->4 s1", t_convs[0]),
-        ("block1.conv2 4->8 s2", t_convs[1]),
-        ("block1.conv3 8->8 s1", t_convs[2]),
-        ("block1.conv4 8->24 s2", t_convs[3]),
-        ("stem total (IN+block1+skip)", t_stem),
-        ("backbone total", t_bb),
-        (f"nms+score+topk ({tag})", t_nms),
-        ("heatmap_decode", t_decode),
-        ("bicubic sample+norm", t_samp),
-        ("FULL detect_and_compute", t_full),
+        ("input_norm", t_in, "input_norm"),
+        ("block1.conv1 1->4 s1", t_convs[0], None),
+        ("block1.conv2 4->8 s2", t_convs[1], None),
+        ("block1.conv3 8->8 s1", t_convs[2], None),
+        ("block1.conv4 8->24 s2", t_convs[3], None),
+        ("stem total (IN+block1+skip)", t_stem, "stem"),
+        ("backbone total", t_bb, "backbone"),
+        (f"nms+score+topk ({tag})", t_nms, "nms"),
+        ("heatmap_decode", t_decode, "decode"),
+        ("bicubic sample+norm", t_samp, "bicubic"),
+        ("FULL detect_and_compute", t_full, "full"),
     ]
-    print(f"{'stage':<32}{'ms/batch':>10}{'us/frame':>10}{'% of full':>10}",
-          flush=True)
-    for name, t in rows:
+    print(f"{'stage':<32}{'ms/batch':>10}{'us/frame':>10}{'% of full':>10}"
+          f"{'SoL ms':>9}{'SoL %':>7}", flush=True)
+    for name, t, key in rows:
+        extra = ""
+        if key is not None:
+            s_ms, s_pct = sol(t, key)
+            extra = f"{s_ms:>9.3f}{s_pct:>6.0f}%"
         print(f"{name:<32}{t*1e3:>10.3f}{t*1e6/B:>10.1f}"
-              f"{100*t/t_full:>9.1f}%", flush=True)
+              f"{100*t/t_full:>9.1f}%{extra}", flush=True)
     print(f"FPS: {B/t_full:.0f}", flush=True)
 
 

@@ -62,3 +62,20 @@ def test_device_trace(tmp_path):
         jax.block_until_ready(jax.jit(lambda x: x + 1)(jnp.ones((8, 8))))
     import os
     assert any(os.scandir(str(tmp_path)))  # trace files written
+
+
+def test_scan_time_runs_and_falls_back():
+    """scan_time returns a sane positive duration; integer-only args fall
+    back to the dispatch-loop timer instead of raising."""
+    import jax
+    import jax.numpy as jnp
+
+    from accelerated_features_tpu.utils.profiling import scan_time
+
+    a = jnp.ones((64, 64), jnp.float32)
+    t = scan_time(lambda x: x * 2.0 + 1.0, a, iters=4)
+    assert 0 < t < 10.0
+
+    b = jnp.ones((8,), jnp.int32)
+    t2 = scan_time(lambda x: x + 1, b, iters=3)
+    assert 0 < t2 < 10.0
