@@ -74,6 +74,7 @@ def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
         # nothing to perturb -> the scan body would be loop-invariant and
         # XLA would hoist it; fall back to the wall-clock dispatch loop
         return time_fn(fn, *args, iters=iters)
+    iters = max(iters, 2)  # the 1-iteration run is the latency baseline
 
     def run(n_static, xs):
         def body(carry, i):
@@ -93,6 +94,16 @@ def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
 
     runN = jax.jit(run, static_argnums=0)
     import numpy as np
+    try:
+        compiled = np.asarray(runN(iters, flat))
+        del compiled
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.TracerBoolConversionError,
+            jax.errors.TracerIntegerConversionError,
+            jax.errors.ConcretizationTypeError):
+        # fn does host-side work (numpy conversion, python control flow on
+        # values) and cannot run inside a scan — wall-clock loop instead
+        return time_fn(fn, *args, iters=iters)
     for _ in range(max(warmup, 1)):        # compile both lengths
         np.asarray(runN(iters, flat))
         np.asarray(runN(1, flat))

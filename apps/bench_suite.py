@@ -149,6 +149,17 @@ def bench_ba(quick):
         tN = time_call(run_sharded, big, iters=3)
         eff = t1 / tN
         emit(f"ba_weak_scaling_eff_{ndev}dev", eff, "x", 0.8)
+
+        # point-partitioned solver (map sharded: O(P/ndev + C) per-device
+        # memory — the north-star layout) on the same scaled problem
+        from accelerated_features_tpu.parallel.ba import (
+            bundle_adjust_point_sharded)
+
+        def run_pt(q):
+            return bundle_adjust_point_sharded(q, mesh, iters=1,
+                                               cg_iters=30)[0]
+        tP = time_call(run_pt, big, iters=3)
+        emit(f"ba_point_weak_scaling_eff_{ndev}dev", t1 / tP, "x", 0.8)
     else:
         emit("ba_weak_scaling_eff", -1,
              "unavailable: single device on this host")
