@@ -18,11 +18,23 @@ design (Lindenberger et al., ICCV 2023):
 
 TPU-first design: fixed (B, M) keypoint sets with validity masks (padded
 slots attend nowhere and match the dustbin), everything under one jit, bf16
-compute optional. The reference's width/depth confidence pruning
-(lighterglue.py:23-24) is an inference shortcut on serial hardware; on TPU
-fixed shapes + MXU batching are faster than dynamic pruning, so matching
-always runs all 6 layers over all points (results match pruning-disabled
-LightGlue).
+compute optional.
+
+Width-confidence point pruning (reference lighterglue.py:24 runs
+width_confidence=0.95) is implemented in MASKED form: where the official
+LightGlue gathers the surviving points into a smaller set each layer
+(dynamic shapes), we keep static shapes and AND the per-layer keep rule
+(matchability > 1 - width_confidence, evaluated with that layer's
+assignment head; official lightglue.py get_pruning_mask — the token-
+confidence OR-term is inactive because the reference disables
+depth_confidence, lighterglue.py:23) into the attention/assignment masks.
+Masked attention over the kept set is numerically identical to attention
+over the gathered set, so the final matches equal the official pruned
+output (cross-checked against a gather-based torch implementation in
+tests/test_lighterglue_oracle.py). Pruning engages above
+`pruning_min_kpts` points (default 1536 = the official flash-path
+threshold, matching the reference's flash=True CUDA config); depth
+early-exit stays disabled exactly like the reference.
 
 Weights: imports the torch state_dict layout of the published
 `xfeat-lighterglue.pt` (after the reference's key remapping,
@@ -45,6 +57,11 @@ DEFAULT_CONF = {
     "n_layers": 6,
     "num_heads": 1,
     "filter_threshold": 0.1,
+    # reference lighterglue.py:23-24: depth_confidence -1 (off),
+    # width_confidence 0.95 (on); engages above the official flash-path
+    # keypoint threshold (1536), which the reference's flash=True uses
+    "width_confidence": 0.95,
+    "pruning_min_kpts": 1536,
 }
 
 
@@ -318,12 +335,26 @@ def sigmoid_log_double_softmax(sim: jax.Array, z0: jax.Array, z1: jax.Array,
     return scores
 
 
+def get_matchability(asg_params, x: jax.Array) -> jax.Array:
+    """Per-point match probability from a layer's assignment head (official
+    lightglue.py MatchAssignment.get_matchability)."""
+    return jax.nn.sigmoid(_apply(asg_params["matchability"], x)[..., 0])
+
+
 def lighterglue_forward(params, kpts0, kpts1, descs0, descs1,
                         size0, size1,
                         mask0: Optional[jax.Array] = None,
                         mask1: Optional[jax.Array] = None,
-                        heads: int = 1):
+                        heads: int = 1,
+                        width_confidence: float = -1.0,
+                        pruning_min_kpts: int = 1536):
     """Run the matcher. All arrays batched; masks select real keypoints.
+
+    width_confidence > 0 enables masked point pruning (see module
+    docstring): after layer i < n_layers-1, points whose matchability under
+    that layer's assignment head is <= 1 - width_confidence are removed
+    from all later attention and from the final assignment. Engages only
+    when max(M, N) > pruning_min_kpts (static gate).
 
     Returns dict:
       log_assignment: (B, M+1, N+1)
@@ -346,10 +377,20 @@ def lighterglue_forward(params, kpts0, kpts1, descs0, descs1,
         normalize_keypoints(kpts1.astype(jnp.float32), size1),
         params["posenc_wr"])
 
-    for layer in params["layers"]:
-        x0 = _self_block(layer["self"], x0, cos0, sin0, mask0, heads)
-        x1 = _self_block(layer["self"], x1, cos1, sin1, mask1, heads)
-        x0, x1 = _cross_block(layer["cross"], x0, x1, mask0, mask1, heads)
+    do_prune = width_confidence > 0 and max(m, n) > pruning_min_kpts
+    keep0, keep1 = mask0, mask1
+    n_layers = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        x0 = _self_block(layer["self"], x0, cos0, sin0, keep0, heads)
+        x1 = _self_block(layer["self"], x1, cos1, sin1, keep1, heads)
+        x0, x1 = _cross_block(layer["cross"], x0, x1, keep0, keep1, heads)
+        if do_prune and i < n_layers - 1:
+            # official get_pruning_mask with confidences=None (depth
+            # confidence disabled): keep iff matchability > 1 - width_conf;
+            # once pruned a point never returns (AND-accumulate)
+            asg_i = params["assignments"][i]
+            keep0 &= get_matchability(asg_i, x0) > (1.0 - width_confidence)
+            keep1 &= get_matchability(asg_i, x1) > (1.0 - width_confidence)
 
     asg = params["assignments"][-1]
     dim = x0.shape[-1]
@@ -359,8 +400,13 @@ def lighterglue_forward(params, kpts0, kpts1, descs0, descs1,
                      precision=jax.lax.Precision.HIGHEST)
     z0 = _apply(asg["matchability"], x0)[..., 0]
     z1 = _apply(asg["matchability"], x1)[..., 0]
-    scores = sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
+    scores = sigmoid_log_double_softmax(sim, z0, z1, keep0, keep1)
     m0, ms0 = filter_matches_from_scores(scores, m, n)
+    if do_prune:
+        # pruned points are unmatched with zero confidence, exactly like
+        # the official scatter-back (-1 / 0 for indices not in ind0/ind1)
+        m0 = jnp.where(keep0, m0, -1)
+        ms0 = jnp.where(keep0, ms0, 0.0)
     return {"log_assignment": scores, "matches0": m0, "mscores0": ms0}
 
 
@@ -409,13 +455,19 @@ class LighterGlue:
             self.params = weights
         self._jitted = {}
 
-    def _fn(self, m, n):
-        key = (m, n)
+    def _fn(self, m, n, width_confidence=-1.0):
+        # the official pruning gate compares the ACTUAL keypoint count to
+        # pruning_min_kpts; the caller decides and passes the resolved
+        # width_confidence (padding to the jit bucket would otherwise
+        # inflate the count)
+        key = (m, n, width_confidence)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 lambda p, k0, k1, d0, d1, s0, s1, v0, v1:
                 lighterglue_forward(p, k0, k1, d0, d1, s0, s1, v0, v1,
-                                    heads=self.conf["num_heads"]))
+                                    heads=self.conf["num_heads"],
+                                    width_confidence=width_confidence,
+                                    pruning_min_kpts=0))
         return self._jitted[key]
 
     @staticmethod
@@ -435,7 +487,11 @@ class LighterGlue:
         n0, n1 = len(k0), len(k1)
         K = max(int(2 ** math.ceil(math.log2(max(n0, n1, 16)))), 16)
 
-        out = self._fn(K, K)(
+        wc = self.conf.get("width_confidence", -1.0)
+        if not (wc > 0 and max(n0, n1) >
+                self.conf.get("pruning_min_kpts", 1536)):
+            wc = -1.0
+        out = self._fn(K, K, wc)(
             self.params,
             jnp.asarray(self._pad_to(k0, K))[None],
             jnp.asarray(self._pad_to(k1, K))[None],

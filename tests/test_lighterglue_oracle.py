@@ -251,3 +251,120 @@ def test_qkv_interleave_consistency():
     want_b = np.concatenate([qb, kb, vb])
     np.testing.assert_array_equal(got_w, want_w)
     np.testing.assert_array_equal(got_b, want_b)
+
+
+# ---------------------------------------------------------------------------
+# width-confidence point pruning (reference lighterglue.py:24 runs 0.95)
+# ---------------------------------------------------------------------------
+
+def _gathered_width_pruned_reference(params, k0, k1, d0, d1, size,
+                                     width_confidence):
+    """Official LightGlue width pruning, gather-based (dynamic shapes),
+    executed eagerly with OUR forward blocks (whose math is pinned to the
+    HF oracle by the tests above). Mirrors official lightglue.py forward:
+    per layer i < n_layers-1, keep points with
+    get_matchability(log_assignment[i]) > 1 - width_confidence, gather the
+    survivors (descriptors + rotary encodings), never re-admit; final
+    assignment over survivors; scatter matches back with pruned = -1/0."""
+    from accelerated_features_tpu.models.lighterglue import (
+        _apply, _cross_block, _self_block, get_matchability,
+        normalize_keypoints, rotary_encoding, sigmoid_log_double_softmax)
+
+    x0 = _apply(params["input_proj"], jnp.asarray(d0)[None])
+    x1 = _apply(params["input_proj"], jnp.asarray(d1)[None])
+    cos0, sin0 = rotary_encoding(
+        normalize_keypoints(jnp.asarray(k0)[None], size), params["posenc_wr"])
+    cos1, sin1 = rotary_encoding(
+        normalize_keypoints(jnp.asarray(k1)[None], size), params["posenc_wr"])
+    ind0 = np.arange(len(k0))
+    ind1 = np.arange(len(k1))
+
+    n_layers = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        full0 = jnp.ones((1, x0.shape[1]), bool)
+        full1 = jnp.ones((1, x1.shape[1]), bool)
+        x0 = _self_block(layer["self"], x0, cos0, sin0, full0, 1)
+        x1 = _self_block(layer["self"], x1, cos1, sin1, full1, 1)
+        x0, x1 = _cross_block(layer["cross"], x0, x1, full0, full1, 1)
+        if i < n_layers - 1:
+            asg_i = params["assignments"][i]
+            keep0 = np.asarray(
+                get_matchability(asg_i, x0)[0] > 1 - width_confidence)
+            keep1 = np.asarray(
+                get_matchability(asg_i, x1)[0] > 1 - width_confidence)
+            x0, cos0, sin0 = x0[:, keep0], cos0[:, keep0], sin0[:, keep0]
+            x1, cos1, sin1 = x1[:, keep1], cos1[:, keep1], sin1[:, keep1]
+            ind0, ind1 = ind0[keep0], ind1[keep1]
+
+    asg = params["assignments"][-1]
+    dim = x0.shape[-1]
+    md0 = _apply(asg["final_proj"], x0) / dim ** 0.25
+    md1 = _apply(asg["final_proj"], x1) / dim ** 0.25
+    sim = jnp.einsum("bmd,bnd->bmn", md0, md1,
+                     precision=jax.lax.Precision.HIGHEST)
+    z0 = _apply(asg["matchability"], x0)[..., 0]
+    z1 = _apply(asg["matchability"], x1)[..., 0]
+    ms, ns = x0.shape[1], x1.shape[1]
+    scores = sigmoid_log_double_softmax(
+        sim, z0, z1, jnp.ones((1, ms), bool), jnp.ones((1, ns), bool))
+    sub_m0, sub_ms0 = filter_matches_from_scores(scores, ms, ns)
+    sub_m0 = np.asarray(sub_m0[0])
+    sub_ms0 = np.asarray(sub_ms0[0])
+
+    # scatter back to the original index space (official interface)
+    m0 = np.full((len(k0),), -1, np.int32)
+    ms0 = np.zeros((len(k0),), np.float32)
+    matched = sub_m0 >= 0
+    m0[ind0[matched]] = ind1[sub_m0[matched]]
+    ms0[ind0] = sub_ms0
+    ms0[m0 < 0] = 0.0
+    return m0, ms0
+
+
+@pytest.mark.reference_parity
+def test_width_pruning_matches_gathered_reference():
+    """Masked static-shape pruning == official gather-based pruning."""
+    params = _params_from_hf(*_make_hf_modules(seed=2))
+    # distinct per-layer assignment heads with biased matchability so the
+    # keep rule actually fires (random weights give sigmoid ~ 0.5 and the
+    # rule 'matchability > 0.05' would never prune anything); scale/bias
+    # tuned so every layer keeps a nonempty survivor set on both sides
+    rng = np.random.default_rng(5)
+    params["assignments"] = [
+        {"matchability": {
+            "w": jnp.asarray(rng.normal(0, 0.2, (DIM, 1)).astype(np.float32)),
+            "b": jnp.asarray(np.float32([-1.5]))},
+         "final_proj": params["assignments"][0]["final_proj"]}
+        for i in range(N_LAYERS)]
+
+    M = 64
+    k0 = rng.uniform(0, 128, (M, 2)).astype(np.float32)
+    k1 = rng.uniform(0, 128, (M, 2)).astype(np.float32)
+    d0 = rng.normal(size=(M, 64)).astype(np.float32)
+    d1 = rng.normal(size=(M, 64)).astype(np.float32)
+    size = jnp.asarray([[128.0, 128.0]], jnp.float32)
+    wc = 0.95
+
+    ref_m0, ref_ms0 = _gathered_width_pruned_reference(
+        params, k0, k1, d0, d1, size, wc)
+    n_pruned = int((ref_ms0 == 0).sum())
+    assert 4 <= n_pruned < M, f"test not exercising pruning ({n_pruned})"
+
+    out = jax.jit(lambda p, *a: lighterglue_forward(
+        p, *a, width_confidence=wc, pruning_min_kpts=0))(
+        params, jnp.asarray(k0)[None], jnp.asarray(k1)[None],
+        jnp.asarray(d0)[None], jnp.asarray(d1)[None], size, size)
+    np.testing.assert_array_equal(np.asarray(out["matches0"][0]), ref_m0)
+    np.testing.assert_allclose(np.asarray(out["mscores0"][0]), ref_ms0,
+                               rtol=1e-4, atol=1e-5)
+
+    # below the keypoint-count gate the same call must be unpruned
+    out_off = jax.jit(lambda p, *a: lighterglue_forward(
+        p, *a, width_confidence=wc, pruning_min_kpts=M))(
+        params, jnp.asarray(k0)[None], jnp.asarray(k1)[None],
+        jnp.asarray(d0)[None], jnp.asarray(d1)[None], size, size)
+    out_plain = jax.jit(lambda p, *a: lighterglue_forward(p, *a))(
+        params, jnp.asarray(k0)[None], jnp.asarray(k1)[None],
+        jnp.asarray(d0)[None], jnp.asarray(d1)[None], size, size)
+    np.testing.assert_array_equal(np.asarray(out_off["matches0"]),
+                                  np.asarray(out_plain["matches0"]))
