@@ -60,13 +60,12 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
 
     kheat = heatmap_decode(logits)                       # (B, H, W)
     use_fused = (compute_dtype == jnp.bfloat16
-                 and jax.default_backend() == "tpu"
-                 and H % 16 == 0 and W % 2 == 0)
+                 and jax.default_backend() == "tpu")
     if use_fused:
-        # Pallas fused NMS+score+2x2-reduce kernel with the winner index
-        # packed into the score mantissa (identical keypoint sets; ordering
-        # may differ within ~3e-4 score ties; covers all /32-divisible
-        # sizes incl. 800x608 and the MegaDepth eval resolutions)
+        # Pallas fused NMS+score+3x3-reduce kernel with the winner's
+        # in-tile position packed into the score mantissa (identical
+        # keypoint sets; ordering may differ within ~3e-4 score ties;
+        # covers any size incl. 800x608 and the MegaDepth eval sizes)
         from .pallas.detect_fused import topk_keypoints_fused
         kpts_i, scores = topk_keypoints_fused(
             kheat, heat[..., 0].astype(jnp.float32), top_k,

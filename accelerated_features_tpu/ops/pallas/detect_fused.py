@@ -1,31 +1,37 @@
 """Fused keypoint-detection kernel — Pallas TPU.
 
-Fuses the entire sparse-detection post-processing chain for one image into a
-single VMEM-resident kernel (the XLA path materializes ~5 full-res f32 maps
-in HBM and pays a 39 MB tile-transpose before top-k):
+Fuses the sparse-detection post-processing chain for one image into a
+single VMEM-resident kernel (the XLA path materializes ~5 full-res f32
+maps in HBM and pays a 39 MB tile-transpose before top-k):
 
   heatmap (H, W)  [XLA heatmap_decode upstream: cheap, and the softmax/
                    pixel-shuffle lane restructuring is unsupported in vregs]
   --5x5 separable local-max + threshold--> NMS mask
   --reliability lerp (two banded matmuls on the MXU)--> rel_up (H, W)
   --score = heat * rel_up masked to -1--> scores
-  --exact 2x2 tile max + winner index--> packed f32 (H/2, W/2)
+  --pack (row%3, col%3) into the low 4 MANTISSA bits--> packed (H, W)
+  --3-row tile max (reshape, no winner tracking)--> packed (ceil(H/3), W)
 
-The 2x2 winner's sub-pixel index is PACKED into the low 2 MANTISSA bits of
-the f32 score (positive-f32 bit order == value order), so the finisher is
-ONE value-ordered selection — `lax.top_k` (exact) or `lax.approx_max_k`
-(TPU-accelerated, recall 0.9999 default; 5.7 ms vs 16.6 ms at 1024x768
-b64) — with no `take_along_axis` gather. Score decode loses the 2 low
-mantissa bits (~2e-7 relative) — far below the 3e-4 tie window the XLA
-path already tolerates.
+The winner's sub-tile position rides INSIDE the f32 score (positive-f32
+bit order == value order), so every subsequent max/top-k carries it for
+free: the XLA finisher does the 3-column tile max (a minor-dim reshape +
+reduce) and ONE value-ordered selection — `lax.top_k` (exact) or
+`lax.approx_max_k` (TPU-accelerated, recall 0.9999 default) — with no
+`take_along_axis` gather. A 3x3 tile holds at most one 5x5-NMS survivor
+(two survivors within Chebyshev distance <= 2 lie in each other's 5x5
+windows, so both survive only on an exact tie — the same measure-zero
+case the reference's `x == maxpool(x)` already double-counts), so the
+reduction is exact. v2 of this kernel tracked the 2x2 winner index with
+one-hot compaction matmuls; those were 82% of kernel FLOPs and the 2x2
+tiles left a 2.25x-larger selection input.
 
-Works for any even H, W (lane shifts are explicit slice+pad, not 128-lane
-rolls), so 800x608 training/eval and all /32-divisible MegaDepth sizes take
-the fast path. Semantics identical to ops.detect.score_map + topk_keypoints
-(reference xfeat.py:49-103) — verified in tests.
+Score decode loses the 4 low mantissa bits (~2e-6 relative) — far below
+the 3e-4 tie window the XLA path already tolerates.
 
-VMEM budget: all per-image buffers at VGA ~ 6 MB < 16 MB, so the grid is
-simply (batch,).
+Works for any H, W (tile tails are padded with -1 inside the kernel /
+finisher), so 800x608 training/eval and all /32-divisible MegaDepth eval
+sizes take the fast path. Semantics identical to ops.detect.score_map +
+topk_keypoints (reference xfeat.py:49-103) — verified in tests.
 """
 
 from __future__ import annotations
@@ -61,33 +67,9 @@ def _lerp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return M
 
 
-def _shift1(x, axis, fill):
-    """out[..i..] = x[..i+1..] along `axis`, last element = fill.
-
-    Implemented as a circular roll + mask of the wrapped lane (Mosaic
-    rejects the slice+pad lane concatenation for offset-layout reasons;
-    the roll lowers to supported lane rotates for any width)."""
-    n = x.shape[axis]
-    sh = pltpu.roll(x, n - 1, axis)
-    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    return jnp.where(ids == n - 1, jnp.float32(fill), sh)
-
-
-def _pack_sub(best, sub):
-    """Pack the 2x2 winner index into the low 2 MANTISSA bits of the f32
-    score. For positive f32, bit pattern order == value order, so the
-    packed array still sorts correctly by value — it feeds `lax.top_k`
-    (exact) or `lax.approx_max_k` (TPU-accelerated) directly, no gather.
-    Invalid slots (-1.0) only get infinitesimally more negative."""
-    bi = pltpu.bitcast(best, jnp.int32)
-    return pltpu.bitcast((bi & jnp.int32(~3)) | sub.astype(jnp.int32),
-                         jnp.float32)
-
-
-def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
-                   mc_ref, packed_ref):
+def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref, packed_ref):
     H, W = heat_ref.shape[1:]
-    h, w = rel_ref.shape[1:]
+    H3 = packed_ref.shape[1]                          # ceil(H / 3)
     thr = thr_smem[0, 0]
     heat = heat_ref[0]
 
@@ -110,7 +92,11 @@ def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
     lmax = shift_max_axis(shift_max_axis(heat, 1), 0)
     is_max = (heat >= lmax) & (heat > thr)
 
-    # reliability upsample: two banded matmuls on the MXU
+    # reliability upsample: two banded matmuls on the MXU. HIGHEST: the
+    # default MXU precision truncates f32 to bf16, which would quantize
+    # the scores to a ~1e-3 grid — the packed-score contract keeps f32
+    # minus 4 LSBs. (HIGH/bf16x3 would suffice but Mosaic only lowers
+    # DEFAULT and HIGHEST.)
     rel = rel_ref[0]                                  # (h, w)
     rel_w = jax.lax.dot_general(rel, mw_ref[:],        # (h, W)
                                 (((1,), (0,)), ((), ())),
@@ -129,39 +115,26 @@ def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref,
     scores = jnp.where(is_max & ~border, heat * rel_up, -1.0)
     scores = jnp.where(origin, -1.0, scores)
 
-    # exact 2x2 tile reduction (5x5 NMS spacing guarantee): rows via a
-    # major-dim reshape + slice; columns via an explicit one-lane left
-    # shift and a one-hot compaction matmul (mc_ref: (W, W/2) even lanes)
-    s2 = scores.reshape(H // 2, 2, W)
-    r0 = s2[:, 0, :]
-    r1 = s2[:, 1, :]
-    rowmax = jnp.maximum(r0, r1)
-    is_bottom = (r1 > r0).astype(jnp.float32)
+    # pack the in-tile position into the low 4 mantissa bits: for positive
+    # f32, bit order == value order, so the 3x3 winner's sub-position
+    # survives every subsequent max for free. Invalid slots (-1.0) only
+    # get infinitesimally more negative.
+    sub = (row_ids % 3) * 3 + (col_ids % 3)
+    bi = pltpu.bitcast(scores, jnp.int32)
+    packed = pltpu.bitcast((bi & jnp.int32(~15)) | sub, jnp.float32)
 
-    sh = _shift1(rowmax, 1, -jnp.inf)
-    is_right = (sh > rowmax).astype(jnp.float32)
-    pairmax = jnp.maximum(rowmax, sh)
-    bottom_right = _shift1(is_bottom, 1, 0.0)
-    chosen_bottom = jnp.where(is_right > 0, bottom_right, is_bottom)
-    sub_f = chosen_bottom * 2.0 + is_right
-
-    def compact(x):
-        # HIGHEST: the default MXU precision truncates f32 to bf16, which
-        # would quantize the scores (and the reliability lerp above) to a
-        # ~1e-3 grid — the packed-score contract keeps f32 minus 2 LSBs
-        return jax.lax.dot_general(x, mc_ref[:], (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-
-    best = compact(pairmax)                       # (H/2, W/2) f32
-    sub = compact(sub_f)                          # (H/2, W/2) in {0..3}
-    packed_ref[0] = _pack_sub(best, sub)
+    # 3-row tile max via a major-dim reshape (tail rows padded invalid)
+    if H3 * 3 > H:
+        packed = jax.lax.pad(packed, jnp.float32(-1.0),
+                             [(0, H3 * 3 - H, 0), (0, 0, 0)])
+    packed_ref[0] = jnp.max(packed.reshape(H3, 3, W), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _detect_call(kheat, rel, mw, mh, mc, thr, interpret=False):
+def _detect_call(kheat, rel, mw, mh, thr, interpret=False):
     b, H, W = kheat.shape
     h, w = rel.shape[1:]
+    H3 = -(-H // 3)
     # Per-image working set is ~12 f32 (H, W) buffer lifetimes (NMS shifts,
     # lerp output, scores, packing); above the 16 MiB default scoped-VMEM
     # budget for >~VGA images. v5e has 128 MiB VMEM — size the cap to the
@@ -180,34 +153,32 @@ def _detect_call(kheat, rel, mw, mh, mc, thr, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((h, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, W // 2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H // 2, W // 2), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, H3, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, H // 2, W // 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, H3, W), jnp.float32),
         interpret=interpret,
-    )(thr, kheat, rel, mw, mh, mc)
+    )(thr, kheat, rel, mw, mh)
 
 
 def detect_scores_fused(kheat: jax.Array, reliability: jax.Array,
                         detection_threshold: float = 0.05,
                         interpret=None) -> jax.Array:
     """(B,H,W) decoded heatmap + (B,h,w) reliability -> packed f32
-    (B,H/2,W/2): the 2x2-reduced score with the winner index embedded in
-    the low 2 mantissa bits (value order preserved; invalid slots < 0)."""
+    (B,ceil(H/3),W): the 3-row-reduced score with the in-tile position
+    embedded in the low 4 mantissa bits (value order preserved; invalid
+    slots < 0). Feed to the 3-column reduction + selection in
+    `topk_keypoints_fused`."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, H, W = kheat.shape
     h, w = reliability.shape[1:]
     mw = jnp.asarray(_lerp_matrix(w, W))
     mh = jnp.asarray(_lerp_matrix(h, H))
-    mc = np.zeros((W, W // 2), np.float32)
-    mc[np.arange(0, W, 2), np.arange(W // 2)] = 1.0
     thr = jnp.full((1, 1), detection_threshold, jnp.float32)
     return _detect_call(kheat.astype(jnp.float32),
                         reliability.astype(jnp.float32), mw, mh,
-                        jnp.asarray(mc), thr, interpret=interpret)
+                        thr, interpret=interpret)
 
 
 def topk_keypoints_fused(kheat: jax.Array, reliability: jax.Array,
@@ -217,36 +188,41 @@ def topk_keypoints_fused(kheat: jax.Array, reliability: jax.Array,
                          ) -> Tuple[jax.Array, jax.Array]:
     """Fused replacement for score_map + topk_keypoints (feed it the
     heatmap_decode output). Returns ((B,K,2) int xy, (B,K) scores), same
-    contract as ops.detect.topk_keypoints (scores within 2 mantissa LSBs).
+    contract as ops.detect.topk_keypoints (scores within 4 mantissa LSBs).
 
     `approx_recall`: when set and running compiled on TPU, the selection
     uses the hardware-accelerated `lax.approx_max_k` at this recall target
     (default 0.9999 — expected < 1 of 4096 keypoints differing from exact,
-    and only in the lowest-score tail; measured 5.7 ms vs 16.6 ms for exact
-    `lax.top_k` at 1024x768 b64). Pass None for exact selection. On CPU /
+    and only in the lowest-score tail; measured keypoint-set-identical to
+    exact on realistic heatmaps). Pass None for exact selection. On CPU /
     interpret runs the exact path is always used (jax lowers approx_max_k
     to exact top_k there anyway)."""
+    b, H, W = kheat.shape
     packed = detect_scores_fused(kheat, reliability, detection_threshold,
                                  interpret)
-    b, h2, w2 = packed.shape
-    flat = packed.reshape(b, -1)
+    h3 = packed.shape[1]
+    w3 = -(-W // 3)
+    if w3 * 3 > W:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, w3 * 3 - W)),
+                         constant_values=-1.0)
+    red = jnp.max(packed.reshape(b, h3, w3, 3), axis=-1)
+    flat = red.reshape(b, h3 * w3)
     use_approx = (approx_recall is not None and not interpret
                   and jax.default_backend() == "tpu"
-                  and top_k <= h2 * w2)
+                  and top_k <= h3 * w3)
     if use_approx:
         top, idx = jax.lax.approx_max_k(flat, top_k,
                                         recall_target=approx_recall)
     else:
         from ..detect import _padded_top_k
         top, idx = _padded_top_k(flat, top_k)
-        if top_k > h2 * w2:
-            # padded slots carry idx 0 / score -1.0 (already invalid)
-            pass
     ti = jax.lax.bitcast_convert_type(top, jnp.int32)
-    sub_sel = ti & 3
-    scores = jax.lax.bitcast_convert_type(ti & jnp.int32(~3), jnp.float32)
-    ty = idx // w2
-    tx = idx % w2
-    ys = (ty * 2 + sub_sel // 2).astype(jnp.int32)
-    xs = (tx * 2 + sub_sel % 2).astype(jnp.int32)
+    sub_sel = ti & 15
+    scores = jax.lax.bitcast_convert_type(ti & jnp.int32(~15), jnp.float32)
+    ty = idx // w3
+    tx = idx % w3
+    # clamp: tile-tail padding slots (always score < 0 = invalid) would
+    # otherwise decode to coordinates just past the image edge
+    ys = jnp.minimum(ty * 3 + sub_sel // 3, H - 1).astype(jnp.int32)
+    xs = jnp.minimum(tx * 3 + sub_sel % 3, W - 1).astype(jnp.int32)
     return jnp.stack([xs, ys], axis=-1), scores
