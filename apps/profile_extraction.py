@@ -170,16 +170,19 @@ def main():
     bb_fl, bb_by = backbone_cost()
     stem_fl, stem_by, _, _ = block_cost("block1", H, W)
 
-    n_half = B * (H // 2) * (W // 2)
+    n_row3 = B * (-(-H // 3)) * W          # kernel output (H/3-reduced)
+    n_tile3 = B * (-(-H // 3)) * (-(-W // 3))  # selection input (3x3 tiles)
     costs = {
         "input_norm": (0.0, 3.0 * B * H * W * 4),
         "stem": (stem_fl, stem_by),
         "backbone": (bb_fl, bb_by),
         "decode": (0.0, 2.0 * B * H * W * 4 + B * H * W * 4),
-        # fused NMS: read kheat f32 + rel, write packed quarter-res, then
-        # the top-k pass re-reads the packed map
+        # fused NMS v3: kernel reads kheat f32 + rel, writes the
+        # 3-row-reduced packed map; the finisher re-reads it, writes the
+        # 3x3-tiled map, and the selection re-reads that. FLOPs = the two
+        # reliability-lerp matmuls (rel@(w,W) then (h,H)@(h,W)).
         "nms": (2.0 * B * (H * (W // 8) * (W // 8) + H * W * (H // 8)),
-                B * H * W * 4 + 2 * n_half * 4 + n_half * 4),
+                B * H * W * 4 + 2 * n_row3 * 4 + 2 * n_tile3 * 4),
         # matmul bicubic: the (B,K,W/8,64) bf16 intermediate write+read
         # dominates; + feature map read + output write
         "bicubic": (2.0 * B * K * 64 * ((W // 8) * 4 + 4),

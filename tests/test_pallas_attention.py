@@ -99,6 +99,31 @@ def test_fused_detect_non_128_width():
         np.testing.assert_array_equal(k_f[b][:v.sum()], k_ref[b][v])
 
 
+def test_fused_detect_tiny_image():
+    """Smallest supported input (32x32 -> 4x4 cell grid): H3=ceil(32/3)
+    exercises both tile-tail paddings; K > number of valid slots."""
+    from accelerated_features_tpu.ops.detect import (heatmap_decode,
+                                                     score_map,
+                                                     topk_keypoints)
+    from accelerated_features_tpu.ops.pallas.detect_fused import (
+        topk_keypoints_fused)
+    rng = np.random.default_rng(11)
+    B, h, w = 2, 4, 4
+    logits = jnp.asarray(rng.normal(size=(B, h, w, 65)).astype(np.float32)) * 3
+    rel = jnp.asarray(rng.uniform(0.1, 1, (B, h, w)).astype(np.float32))
+    kheat = heatmap_decode(logits)
+    k_ref, s_ref = topk_keypoints(score_map(kheat, rel, 0.012), 64)
+    k_f, s_f = topk_keypoints_fused(kheat, rel, 64, 0.012)
+    k_ref, s_ref, k_f, s_f = map(np.asarray, (k_ref, s_ref, k_f, s_f))
+    for b in range(B):
+        v = s_ref[b] > 0
+        assert (s_f[b] > 0).sum() == v.sum()
+        np.testing.assert_allclose(s_f[b][:v.sum()], s_ref[b][v], atol=1e-5)
+        np.testing.assert_array_equal(k_f[b][:v.sum()], k_ref[b][v])
+        # padded slots must stay inside the image
+        assert k_f[b][:, 0].max() < 32 and k_f[b][:, 1].max() < 32
+
+
 def test_fused_bicubic_parity():
     """Pallas bicubic sampler (interpret) == f32 gather reference."""
     from accelerated_features_tpu.ops.extraction import l2_normalize
