@@ -92,20 +92,25 @@ def _detect_kernel(thr_smem, heat_ref, rel_ref, mw_ref, mh_ref, packed_ref):
     lmax = shift_max_axis(shift_max_axis(heat, 1), 0)
     is_max = (heat >= lmax) & (heat > thr)
 
-    # reliability upsample: two banded matmuls on the MXU. HIGHEST: the
-    # default MXU precision truncates f32 to bf16, which would quantize
-    # the scores to a ~1e-3 grid — the packed-score contract keeps f32
-    # minus 4 LSBs. (HIGH/bf16x3 would suffice but Mosaic only lowers
-    # DEFAULT and HIGHEST.)
+    # reliability upsample: two banded matmuls on the MXU, in manual
+    # bf16x3: plain DEFAULT precision would truncate f32 operands to bf16
+    # and quantize the scores to a ~1e-3 grid; splitting each operand into
+    # bf16 hi + bf16 lo and summing hi@hi + hi@lo + lo@hi recovers ~f32
+    # accuracy (error ~2^-22 relative) at 3 MXU passes instead of
+    # HIGHEST's 6 (Mosaic rejects the HIGH precision that would do this
+    # natively).
+    def dot3(a, bm, dims):
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = bm.astype(jnp.bfloat16)
+        b_lo = (bm - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dd = lambda x, y: jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32)
+        return dd(a_hi, b_hi) + (dd(a_hi, b_lo) + dd(a_lo, b_hi))
+
     rel = rel_ref[0]                                  # (h, w)
-    rel_w = jax.lax.dot_general(rel, mw_ref[:],        # (h, W)
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-    rel_up = jax.lax.dot_general(mh_ref[:], rel_w,     # (H, W)
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+    rel_w = dot3(rel, mw_ref[:], (((1,), (0,)), ((), ())))    # (h, W)
+    rel_up = dot3(mh_ref[:], rel_w, (((0,), (0,)), ((), ()))) # (H, W)
 
     # nearest-sampling border kill (last row/col), padding kill at (0,0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
