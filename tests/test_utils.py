@@ -79,3 +79,28 @@ def test_scan_time_runs_and_falls_back():
     b = jnp.ones((8,), jnp.int32)
     t2 = scan_time(lambda x: x + 1, b, iters=3)
     assert 0 < t2 < 10.0
+
+
+def test_per_call_overrides_match_reference_contract():
+    """detectAndCompute accepts per-call top_k / detection_threshold
+    overrides like the reference (xfeat.py:50): explicit args win over the
+    constructor defaults, None falls back to them."""
+    from accelerated_features_tpu.api import XFeat
+    from accelerated_features_tpu.models.params import init_xfeat_params
+
+    params = init_xfeat_params(jax.random.key(7))
+    x = np.random.default_rng(1).uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    xf = XFeat(weights=params, top_k=64, detection_threshold=0.012)
+
+    d_default = xf.detectAndCompute(x)[0]
+    d_k16 = xf.detectAndCompute(x, top_k=16)[0]
+    assert len(d_default["keypoints"]) <= 64
+    assert len(d_k16["keypoints"]) <= 16
+    # the 16 kept must be the highest-scoring 16 of the default run
+    np.testing.assert_allclose(
+        np.sort(d_k16["scores"])[::-1],
+        np.sort(d_default["scores"])[::-1][:len(d_k16["scores"])],
+        rtol=1e-6)
+    # a stricter threshold can only shrink the keypoint set
+    d_strict = xf.detectAndCompute(x, detection_threshold=0.03)[0]
+    assert len(d_strict["keypoints"]) <= len(d_default["keypoints"])
