@@ -1,0 +1,300 @@
+"""Fused XFeat stem (block1 + skip) — Pallas TPU, MXU halo-im2col.
+
+Computes, in ONE VMEM-resident kernel per image, the whole stem region
+between input normalization and block2 (reference model.py:40-50,139-141;
+our XLA path models/backbone.py:173-177):
+
+    c1 = relu(conv3x3_s1(x, W1) + b1)          # 1 -> 4
+    c2 = relu(conv3x3_s2(c1, W2) + b2)         # 4 -> 8   (/2)
+    c3 = relu(conv3x3_s1(c2, W3) + b3)         # 8 -> 8
+    c4 = relu(conv3x3_s2(c3, W4) + b4)         # 8 -> 24  (/4)
+    out = c4 + (avgpool4x4(x) @ Wskip + bskip) # block2 input
+
+Why a kernel: these convs have 1-24 channels, so the direct XLA lowering
+runs MXU matmuls with K = 9*C_in <= 72 and N = C_out <= 24 — under 4%
+systolic-array utilization — and the stem measures ~1.85 ms / 4.7 ms per
+b64 batch (VGA / 1024x768) at ~48% of its HBM speed-of-light (STATUS.md
+round-2 tables). Two XLA-level rewrites (column-grouped halo conv,
+shifted-add conv1) were measured SLOWER because any graph-level rewrite
+breaks XLA's surrounding stem fusion (docs/DESIGN.md section 10). This
+kernel fuses the WHOLE region instead, so there is no XLA fusion to
+break: HBM traffic is one read of the gray image + one write of the
+(H/4, W/4, 24) output.
+
+MXU packing ("halo grouping", per-conv):
+  * activations live in VMEM as 2D (rows, W*C) with lane index w*C + c;
+  * each matmul row evaluates G consecutive output columns: N = G*C_out
+    (96-128), K = 3 * window * C_in (102-432), where window = G+2 for
+    stride 1 and 2G+1 for stride 2;
+  * the im2col operand is assembled from STATIC lane slices (one per
+    column group; G divides the /32-divisible widths by construction)
+    and static (strided) sublane slices for rows — no dynamic gather,
+    no lane compaction, none of the Mosaic-unsupported shape casts that
+    blocked ops/pallas/bicubic_mxu.py;
+  * weights are banded block-Toeplitz expansions of the 3x3 kernels
+    (built with scatter-at once per trace; the extra band entries
+    multiply structural zeros, so numerics match the direct conv up to
+    float reduction order);
+  * the avg-pool skip is a second small matmul (K = 4*G lanes of the
+    row-pooled input) added AFTER conv4's ReLU, matching the reference
+    dataflow exactly.
+
+Estimated MXU cost at VGA b64: ~8k cycles/image (~0.55 ms/batch) vs the
+~0.9 ms/batch HBM roofline of the unfused stage chain — i.e. the kernel
+is compute-bound but ~2-3x under the current measured stem time.
+
+Inference-only (requires BatchNorm folded into per-conv biases, like the
+fused detect path). Any /32-divisible H, W. Output bit-identity with the
+XLA stem is NOT expected (different contraction grouping); parity is
+tested to tight f32 / loose bf16 tolerances in tests/test_stem_fused.py.
+
+ROUTING: not yet routed into models/backbone.py — the TPU tunnel was
+down when this was written, so on-chip timing is pending. Flip
+`xfeat_forward(..., fused_stem=True)` / set XFEAT_FUSED_STEM=1 once
+measured faster (see STATUS.md next-round target 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+# Output columns evaluated per matmul row, per conv. Every /32-divisible
+# width W satisfies the divisibility each group needs (W % 32 == 0 =>
+# (W/2) % 16 == 0 and (W/4) % 4 == 0).
+_G1, _G2, _G3, _G4 = 32, 16, 16, 4
+# K (im2col lanes) per conv: 3 * window * C_in, padded to 128 multiples.
+_K1, _K2, _K3, _K4, _KS = 3 * 34 * 1, 3 * 33 * 4, 3 * 18 * 8, 3 * 9 * 8, 16
+
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _banded(w: jax.Array, g: int, stride: int, dtype) -> jax.Array:
+    """Block-Toeplitz expansion of a (3, 3, ci, co) kernel for the halo
+    matmul: out column n = u*co_n + co evaluates output position u in the
+    group; row k = dy*(win*ci) + j*ci + c reads window column j, channel c
+    of input row dy. Entry = w[dy, j - stride*u, c, co] when the offset is
+    a valid tap. Built with one scatter; index tables are numpy constants
+    so this folds into a few cheap device ops per trace."""
+    ci, co = int(w.shape[2]), int(w.shape[3])
+    win = g + 2 if stride == 1 else 2 * g + 1
+    K, N = 3 * win * ci, g * co
+    dy, u, cc, oo = np.meshgrid(np.arange(3), np.arange(g), np.arange(ci),
+                                np.arange(co), indexing="ij")
+    rows, cols, wi = [], [], []
+    for dx in range(3):
+        j = stride * u + dx
+        rows.append(dy * (win * ci) + j * ci + cc)
+        cols.append(u * co + oo)
+        wi.append((np.full_like(dy, dx), dy, cc, oo))
+    rows = np.concatenate([r.ravel() for r in rows])
+    cols = np.concatenate([c.ravel() for c in cols])
+    dxs = np.concatenate([w_[0].ravel() for w_ in wi])
+    dys = np.concatenate([w_[1].ravel() for w_ in wi])
+    cis = np.concatenate([w_[2].ravel() for w_ in wi])
+    cos = np.concatenate([w_[3].ravel() for w_ in wi])
+    vals = w[dys, dxs, cis, cos]
+    out = jnp.zeros((_pad128(K), _pad128(N)), jnp.float32)
+    return out.at[rows, cols].set(vals).astype(dtype)
+
+
+def _skip_mat(w: jax.Array, dtype) -> jax.Array:
+    """(1x1 conv after 4x4 avgpool) as a (16 -> G4*24) matmul over 4*G4
+    columns of the row-pooled input: lane cc covers pooled output
+    u = cc // 4 with weight w[co] / 16 (col pooling folded in)."""
+    co = int(w.shape[3])
+    cc = np.arange(4 * _G4)
+    u = cc // 4
+    rows = np.repeat(cc, co)
+    cols = (np.repeat(u, co) * co + np.tile(np.arange(co), 4 * _G4))
+    vals = jnp.tile(w[0, 0, 0, :] / 16.0, 4 * _G4)
+    out = jnp.zeros((128, _pad128(_G4 * co)), jnp.float32)
+    return out.at[rows, cols].set(vals).astype(dtype)
+
+
+def _stem_kernel(x_ref, wb1, wb2, wb3, wb4, wsk, bv_ref, out_ref,
+                 *, H: int, W: int):
+    x = x_ref[0]                                   # (H, W) gray, normalized
+    dt = x.dtype
+    f32 = jnp.float32
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def conv(xp, wb, bias_row, ng, lane_stride, win, ci, n_lanes, hout,
+             stride):
+        """One halo-grouped conv as a single MXU matmul.
+
+        xp: input padded by 1 row top/bottom and enough lanes left that
+        every window slice offset (`lane_stride * gi`) is >= 0. For each
+        of `ng` column groups, the im2col block is the (win*ci)-lane
+        window, row-shifted (stride 1) or row-strided (stride 2) for the
+        three kernel rows and lane-concatenated into the K dim; groups
+        stack along rows so ONE dot_general serves the whole conv.
+        Returns (hout, ng * n_lanes)."""
+        lanes_w = win * ci
+        pieces = []
+        for gi in range(ng):
+            base = lane_stride * gi
+            wslice = jax.lax.slice(xp, (0, base), (xp.shape[0],
+                                                   base + lanes_w))
+            if stride == 1:
+                a = jnp.concatenate(
+                    [wslice[d:d + hout] for d in range(3)], axis=1)
+            else:
+                a = jnp.concatenate(
+                    [jax.lax.slice(wslice, (d, 0),
+                                   (d + 2 * (hout - 1) + 1, lanes_w),
+                                   (2, 1)) for d in range(3)], axis=1)
+            pieces.append(a)
+        A = jnp.concatenate(pieces, axis=0)         # (ng*hout, 3*lanes_w)
+        kp = wb.shape[0]
+        if A.shape[1] < kp:
+            A = jnp.pad(A, ((0, 0), (0, kp - A.shape[1])))
+        O = dot(A.astype(dt), wb[:].astype(dt)) + bias_row
+        O = jnp.maximum(O, 0.0).astype(dt)
+        return jnp.concatenate(
+            [O[gi * hout:(gi + 1) * hout, :n_lanes]
+             for gi in range(ng)], axis=1)
+
+    bv = bv_ref[:]                                  # (5, 128) f32 bias rows
+
+    # conv1: 1 -> 4, stride 1, groups of 32 output cols (window 34)
+    xp = jnp.pad(x, ((1, 1), (1, 1)))
+    x1 = conv(xp, wb1, bv[0], W // _G1, _G1, 34, 1, _G1 * 4, H,
+              stride=1)                             # (H, 4W)
+
+    # conv2: 4 -> 8, stride 2, groups of 16 output cols (window 33)
+    x1p = jnp.pad(x1, ((1, 1), (4, 4)))
+    x2 = conv(x1p, wb2, bv[1], (W // 2) // _G2, 128, 33, 4, _G2 * 8,
+              H // 2, stride=2)                     # (H/2, 8*(W/2))
+
+    # conv3: 8 -> 8, stride 1, groups of 16 (window 18)
+    x2p = jnp.pad(x2, ((1, 1), (8, 8)))
+    x3 = conv(x2p, wb3, bv[2], (W // 2) // _G3, 128, 18, 8, _G3 * 8,
+              H // 2, stride=1)
+
+    # conv4: 8 -> 24, stride 2, groups of 4 (window 9)
+    x3p = jnp.pad(x3, ((1, 1), (8, 8)))
+    x4 = conv(x3p, wb4, bv[3], (W // 4) // _G4, 64, 9, 8, _G4 * 24,
+              H // 4, stride=2)                     # (H/4, 24*(W/4))
+
+    # skip: rows pooled by strided adds, column pooling folded into wsk
+    H4, W4 = H // 4, W // 4
+    xr = (jax.lax.slice(x, (0, 0), (H - 3, W), (4, 1)) +
+          jax.lax.slice(x, (1, 0), (H - 2, W), (4, 1)) +
+          jax.lax.slice(x, (2, 0), (H - 1, W), (4, 1)) +
+          jax.lax.slice(x, (3, 0), (H, W), (4, 1)))     # (H/4, W)
+    ng4 = W4 // _G4
+    As = jnp.concatenate(
+        [jax.lax.slice(xr, (0, 16 * gi), (H4, 16 * gi + 16))
+         for gi in range(ng4)], axis=0)             # (ng4*H4, 16)
+    As = jnp.pad(As, ((0, 0), (0, 128 - 16)))
+    Os = dot(As.astype(dt), wsk[:].astype(dt)) + bv[4]
+    skip = jnp.concatenate(
+        [Os[gi * H4:(gi + 1) * H4, :_G4 * 24] for gi in range(ng4)],
+        axis=1)                                     # (H/4, 24*(W/4))
+
+    out_ref[0] = (x4.astype(f32) + skip).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _stem_call(xg, wb1, wb2, wb3, wb4, wsk, bv, interpret=False):
+    b, H, W = xg.shape
+    H4, W4 = H // 4, W // 4
+    # Working set: im2col operands + activations, ~40 f32-equivalent
+    # bytes per input pixel at bf16. Cap scales with the image.
+    vmem_cap = min(112, max(24, (44 * H * W) // (1024 * 1024) + 8))
+    kern = functools.partial(_stem_kernel, H=H, W=W)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_cap * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wb1.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wb2.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wb3.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wb4.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wsk.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bv.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H4, W4 * 24), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, H4, W4 * 24), xg.dtype),
+        interpret=interpret,
+    )(xg, wb1, wb2, wb3, wb4, wsk, bv)
+
+
+def stem_fused(params: Dict[str, Any], xg: jax.Array,
+               interpret=None) -> jax.Array:
+    """Fused block1 + skip on normalized gray input.
+
+    Args:
+      params: folded-BN parameter pytree (models/params.fold_batchnorm);
+        uses params['block1'][0..3]['w'/'b'] and params['skip1'].
+      xg: (B, H, W, 1) input_norm output; H, W divisible by 32.
+
+    Returns: (B, H/4, W/4, 24) block2 input, == XLA stem within float
+    reassociation tolerance. Raises if BN is not folded.
+    """
+    if not _HAS_PALLAS:  # pragma: no cover
+        raise RuntimeError("pallas unavailable")
+    b1 = params["block1"]
+    if any("b" not in p for p in b1):
+        raise ValueError("stem_fused requires folded BatchNorm params "
+                         "(models/params.fold_batchnorm)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, _ = xg.shape
+    if H % 32 or W % 32:
+        raise ValueError(f"H, W must be /32-divisible, got {(H, W)}")
+    dt = xg.dtype
+    wb1 = _banded(b1[0]["w"], _G1, 1, dt)
+    wb2 = _banded(b1[1]["w"], _G2, 2, dt)
+    wb3 = _banded(b1[2]["w"], _G3, 1, dt)
+    wb4 = _banded(b1[3]["w"], _G4, 2, dt)
+    wsk = _skip_mat(params["skip1"]["w"], dt)
+    bv = jnp.stack([
+        jnp.pad(jnp.tile(b1[0]["b"], _G1), (0, 0)),
+        jnp.tile(b1[1]["b"], _G2),
+        jnp.tile(b1[2]["b"], _G3),
+        jnp.pad(jnp.tile(b1[3]["b"], _G4), (0, 128 - _G4 * 24)),
+        jnp.pad(jnp.tile(params["skip1"]["b"], _G4), (0, 128 - _G4 * 24)),
+    ]).astype(jnp.float32)                          # (5, 128)
+    out = _stem_call(xg[..., 0], wb1, wb2, wb3, wb4, wsk, bv,
+                     interpret=interpret)
+    return out.reshape(B, H // 4, W // 4, 24)
+
+
+def stem_reference(params: Dict[str, Any], xg: jax.Array) -> jax.Array:
+    """XLA stem (models/backbone.py:173-177) for parity tests: block1 on
+    the normalized gray input plus the avgpool4 + 1x1 skip."""
+    from ...models.backbone import _block, conv2d
+    x1 = _block(params["block1"], xg, "block1", False, None)
+    skip = jax.lax.reduce_window(
+        xg, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID") / 16.0
+    skip = conv2d(skip, params["skip1"]["w"], params["skip1"]["b"])
+    return x1 + skip
