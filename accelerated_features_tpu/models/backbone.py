@@ -152,7 +152,8 @@ def input_norm(x: jax.Array) -> jax.Array:
 
 
 def xfeat_forward(params: Dict[str, Any], x: jax.Array, *, train: bool = False,
-                  compute_dtype: jnp.dtype = jnp.float32):
+                  compute_dtype: jnp.dtype = jnp.float32,
+                  fused_stem: Optional[bool] = None):
     """Full XFeat forward (reference model.py:123-154).
 
     Args:
@@ -160,6 +161,10 @@ def xfeat_forward(params: Dict[str, Any], x: jax.Array, *, train: bool = False,
       x: (B, H, W, C) images in [0, 1]; H, W divisible by 32.
       train: use batch statistics in BN and return them for running updates.
       compute_dtype: bfloat16 for TPU inference throughput, float32 for parity.
+      fused_stem: route input_norm output through the fused Pallas stem
+        kernel (ops/pallas/stem.py; inference + folded BN only). Default
+        comes from the XFEAT_FUSED_STEM env var — off until the kernel is
+        measured faster on-chip (see STATUS.md).
 
     Returns:
       feats:  (B, H/8, W/8, 64) dense local features.
@@ -170,11 +175,20 @@ def xfeat_forward(params: Dict[str, Any], x: jax.Array, *, train: bool = False,
     stats: Optional[dict] = {} if train else None
     x = input_norm(x).astype(compute_dtype)
 
-    x1 = _block(params["block1"], x, "block1", train, stats)
-    skip = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID") / 16.0
-    skip = conv2d(skip, params["skip1"]["w"], params["skip1"]["b"])
-    x2 = _block(params["block2"], x1 + skip, "block2", train, stats)
+    if fused_stem is None:
+        import os
+        fused_stem = os.environ.get("XFEAT_FUSED_STEM", "0") == "1"
+    if (fused_stem and not train
+            and all("b" in p for p in params["block1"])):
+        from ..ops.pallas.stem import stem_fused
+        stem_out = stem_fused(params, x)
+    else:
+        x1 = _block(params["block1"], x, "block1", train, stats)
+        skip = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID") / 16.0
+        skip = conv2d(skip, params["skip1"]["w"], params["skip1"]["b"])
+        stem_out = x1 + skip
+    x2 = _block(params["block2"], stem_out, "block2", train, stats)
     x3 = _block(params["block3"], x2, "block3", train, stats)
     x4 = _block(params["block4"], x3, "block4", train, stats)
     x5 = _block(params["block5"], x4, "block5", train, stats)

@@ -64,3 +64,14 @@ def test_stem_fused_requires_folded_bn():
     params = init_xfeat_params(jax.random.key(0))
     with pytest.raises(ValueError):
         stem_fused(params, _gray(1, 32, 32))
+
+
+def test_xfeat_forward_fused_stem_routing(folded_params):
+    from accelerated_features_tpu.models.backbone import xfeat_forward
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)), jnp.float32)
+    ref = xfeat_forward(folded_params, x, fused_stem=False)
+    out = xfeat_forward(folded_params, x, fused_stem=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
