@@ -41,7 +41,27 @@ def main():
     top_k = int(os.environ.get("BENCH_TOPK", "4096"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
+    # The remote-TPU relay can be down, in which case backend init hangs
+    # indefinitely in C code (not interruptible from Python). Emit a clear
+    # JSON error and exit instead of hanging the driver. 600 s is far
+    # above healthy device-discovery time (< 10 s; compiles happen later
+    # and are NOT under this watchdog).
+    import threading
+
+    def _die():
+        print(json.dumps({"metric": "sparse_extraction_vga_fps",
+                          "value": 0, "unit": "frames/s/chip",
+                          "vs_baseline": 0,
+                          "error": "TPU unreachable (device discovery "
+                                   "timed out after 600 s)"}),
+              flush=True)
+        os._exit(2)
+
+    watchdog = threading.Timer(600.0, _die)
+    watchdog.daemon = True
+    watchdog.start()
     dev = jax.devices()[0]
+    watchdog.cancel()
     params = fold_batchnorm(init_xfeat_params(jax.random.key(0)))
     params = jax.device_put(params, dev)
 
