@@ -38,7 +38,14 @@ def load_params(weights: Optional[Union[str, Dict[str, Any]]],
     elif isinstance(weights, str):
         if weights.endswith(".npz"):
             data = np.load(weights, allow_pickle=True)
-            flat = {k: jnp.asarray(v) for k, v in data.items()}
+            if any(k.startswith("params/") for k in data.keys()):
+                # full train-state checkpoint (utils.checkpoint npz format:
+                # params/ + opt_state/ + step): extract the params subtree
+                flat = {k[len("params/"):]: jnp.asarray(v)
+                        for k in data.keys() if k.startswith("params/")
+                        for v in (data[k],)}
+            else:
+                flat = {k: jnp.asarray(v) for k, v in data.items()}
             params = _unflatten(flat)
         else:
             import torch

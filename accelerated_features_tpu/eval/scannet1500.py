@@ -19,7 +19,6 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..geometry import estimate_relative_pose
 from .metrics import pose_errors_to_summary, relative_pose_error
 
 THRESHOLDS = [0.5 * i for i in range(1, 13)]  # 0.5 .. 6.0 (reference sweep)
@@ -114,8 +113,17 @@ def run_threshold_sweep(matches, gt: List[dict], thresholds=THRESHOLDS,
     results = {}
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
+        # Key cached error files by the pose backend AND a digest of the
+        # match set, so re-running with a different matcher/backend in the
+        # same cache_dir recomputes instead of silently reusing stale errors.
+        import hashlib
+        h = hashlib.sha1()
+        for mk0, mk1 in matches:
+            h.update(np.ascontiguousarray(mk0, np.float32).tobytes())
+            h.update(np.ascontiguousarray(mk1, np.float32).tobytes())
+        tag = f"{pose_backend}_{h.hexdigest()[:10]}"
     for thr in thresholds:
-        err_path = (os.path.join(cache_dir, f"errors_thr_{thr:g}.npy")
+        err_path = (os.path.join(cache_dir, f"errors_{tag}_thr_{thr:g}.npy")
                     if cache_dir else None)
         if err_path and os.path.exists(err_path):
             pose_errs = np.load(err_path).tolist()
@@ -188,15 +196,23 @@ def report(summary_paths: List[str], metric_keys=("auc@5", "auc@10",
         with open(path) as f:
             data = json.load(f)
         run = os.path.splitext(os.path.basename(path))[0]
+        def _get(summ, k):
+            # mAcc (mean of acc@{5,10,20}) is derived, not stored
+            if k == "mAcc" and k not in summ:
+                accs = [summ.get(f"acc@{t}") for t in (5, 10, 20)]
+                return (float(np.mean(accs))
+                        if all(a is not None for a in accs) else None)
+            return summ.get(k)
+
         for key, summ in data.get("sweep", {}).items():
             rows.append({"run": run, "threshold": float(key.split("_")[1]),
-                         **{k: summ.get(k) for k in metric_keys}})
+                         **{k: _get(summ, k) for k in metric_keys}})
         best = data.get("best")
         if best:
             rows.append({"run": run,
                          "threshold": best.get("best_threshold"),
                          "best": True,
-                         **{k: best.get(k) for k in metric_keys}})
+                         **{k: _get(best, k) for k in metric_keys}})
     df = pd.DataFrame(rows)
     if not df.empty:
         df = df.sort_values(["run", "threshold"]).reset_index(drop=True)

@@ -175,11 +175,18 @@ def xfeat_forward(params: Dict[str, Any], x: jax.Array, *, train: bool = False,
     stats: Optional[dict] = {} if train else None
     x = input_norm(x).astype(compute_dtype)
 
+    explicit = fused_stem is not None
     if fused_stem is None:
         import os
         fused_stem = os.environ.get("XFEAT_FUSED_STEM", "0") == "1"
-    if (fused_stem and not train
-            and all("b" in p for p in params["block1"])):
+    folded = all("b" in p for p in params["block1"])
+    if fused_stem and explicit and (train or not folded):
+        # only the env-var default may silently fall back; an explicit
+        # fused_stem=True with an incompatible config is a caller bug
+        raise ValueError(
+            "fused_stem=True requires inference (train=False) and "
+            "BatchNorm folded into conv biases (fold_bn_params)")
+    if fused_stem and not train and folded:
         from ..ops.pallas.stem import stem_fused
         stem_out = stem_fused(params, x)
     else:

@@ -38,8 +38,10 @@ def gt_homography(rng, w, h, difficulty=0.25):
     shear = rng.uniform(-0.15, 0.15)
     c, s = np.cos(ang), np.sin(ang)
     T0 = np.array([[1, 0, -w / 2], [0, 1, -h / 2], [0, 0, 1]])
+    # shear perturbs one off-diagonal only (keeps the generator identical
+    # to the seeded distribution used for the recorded convergence tables)
     A = np.array([[sc * c, sc * (shear - s), tx],
-                  [sc * (s + shear * 0), sc * c, ty],
+                  [sc * s, sc * c, ty],
                   [px, py, 1.0]])
     T1 = np.array([[1, 0, w / 2], [0, 1, h / 2], [0, 0, 1]])
     return T1 @ A @ T0
@@ -112,16 +114,12 @@ def main():
             prec.append(0.0)
 
     mace_arr = np.asarray(mace) if mace else np.asarray([1e9])
-    aucs = {}
-    for t in (3.0, 5.0, 10.0):
-        # trapezoid AUC of the error-CDF, normalized — same formula as the
-        # pose benchmarks (eval/metrics.py)
-        e = np.sort(np.clip(mace_arr, 0, t))
-        e = np.concatenate([e, np.full(args.pairs - len(e), t)])
-        rec = np.arange(1, len(e) + 1) / len(e)
-        x = np.concatenate([[0], e, [t]])
-        y = np.concatenate([[0], rec, [rec[-1] if len(rec) else 0]])
-        aucs[f"h_auc@{int(t)}px"] = float(np.trapezoid(y, x) / t)
+    # shared AUC implementation (eval/metrics.py); pairs with no
+    # homography count as infinite error
+    from accelerated_features_tpu.eval.metrics import error_auc
+    errors_full = list(mace) + [np.inf] * (args.pairs - len(mace))
+    a = error_auc(errors_full, thresholds=(3, 5, 10))
+    aucs = {f"h_auc@{t}px": a[f"auc@{t}"] for t in (3, 5, 10)}
 
     out = {
         "ckpt": args.ckpt or "random-init",

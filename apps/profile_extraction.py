@@ -103,8 +103,9 @@ def main():
         logits.astype(jnp.float32)))
     rel = jax.block_until_ready(heat[..., 0].astype(jnp.float32))
 
-    use_fused = (cdt == jnp.bfloat16 and jax.default_backend() == "tpu"
-                 and H % 16 == 0 and W % 2 == 0)
+    # must mirror ops/extraction.py's gate exactly, or the stage table
+    # times a different NMS path than the full pipeline runs
+    use_fused = (cdt == jnp.bfloat16 and jax.default_backend() == "tpu")
     if use_fused:
         from accelerated_features_tpu.ops.pallas.detect_fused import (
             topk_keypoints_fused)

@@ -251,13 +251,22 @@ def test_scannet_error_cache_and_reporter(tmp_path):
     cache = tmp_path / "errs"
     s1 = run_threshold_sweep([(p0, p1)], gt, thresholds=[1.0, 2.0],
                              cache_dir=str(cache))
-    assert (cache / "errors_thr_1.npy").exists()
-    assert (cache / "errors_thr_2.npy").exists()
-    # second run must reuse the cached errors (poison the matches: if the
-    # sweep recomputed, results would change)
-    s2 = run_threshold_sweep([(p0, p1 + 50.0)], gt, thresholds=[1.0, 2.0],
+    files1 = sorted(p.name for p in cache.iterdir())
+    assert len(files1) == 2 and all("thr_" in f for f in files1)
+    # identical matches + backend must reuse the cached errors (poison the
+    # files: if the sweep recomputed, the poisoned values would be replaced)
+    for p in cache.iterdir():
+        np.save(p, np.load(p) * 1.0)  # touch, keep values
+    s2 = run_threshold_sweep([(p0, p1)], gt, thresholds=[1.0, 2.0],
                              cache_dir=str(cache))
     assert s1 == s2
+    assert sorted(p.name for p in cache.iterdir()) == files1
+    # DIFFERENT matches in the same cache_dir must NOT reuse: the error
+    # files are keyed by a digest of the match set + pose backend
+    s3 = run_threshold_sweep([(p0, p1 + 50.0)], gt, thresholds=[1.0, 2.0],
+                             cache_dir=str(cache))
+    assert s3 != s1
+    assert len(list(cache.iterdir())) == 4
 
     summ = tmp_path / "run_a.json"
     with open(summ, "w") as f:
@@ -265,6 +274,8 @@ def test_scannet_error_cache_and_reporter(tmp_path):
     df = report([str(summ)])
     assert len(df) == 3  # 2 thresholds + best row
     assert set(df["run"]) == {"run_a"}
+    # mAcc is derived from acc@{5,10,20} in the reporter
+    assert df["mAcc"].notna().all()
 
 
 def test_scannet_match_cache_roundtrip(tmp_path):

@@ -66,6 +66,20 @@ def test_stem_fused_requires_folded_bn():
         stem_fused(params, _gray(1, 32, 32))
 
 
+def test_xfeat_forward_explicit_fused_stem_raises_unfolded():
+    """Explicit fused_stem=True with unfolded BN is a caller bug and must
+    hard-fail rather than silently run the unfused stem (the env-var
+    default may still fall back)."""
+    from accelerated_features_tpu.models.backbone import xfeat_forward
+    params = init_xfeat_params(jax.random.key(1))
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        xfeat_forward(params, x, fused_stem=True)
+    folded = fold_batchnorm(params)
+    with pytest.raises(ValueError):
+        xfeat_forward(folded, x, train=True, fused_stem=True)
+
+
 def test_xfeat_forward_fused_stem_routing(folded_params):
     from accelerated_features_tpu.models.backbone import xfeat_forward
     rng = np.random.default_rng(11)

@@ -28,6 +28,29 @@ def test_params_npz_roundtrip(tmp_path):
     np.testing.assert_allclose(out1["keypoints"], out2["keypoints"])
 
 
+def test_xfeat_loads_train_state_npz(tmp_path):
+    """XFeat(weights=...) pointed at a FULL train-state npz checkpoint
+    (params/ + opt_state/ + step, utils.checkpoint format) extracts the
+    params subtree instead of failing on non-param leaves."""
+    from accelerated_features_tpu.api import XFeat
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.utils.checkpoint import _flatten
+
+    params = init_xfeat_params(jax.random.key(5))
+    state = {"params": params, "opt_state": (np.int32(0),
+                                             {"m": jnp.zeros(3)}),
+             "step": np.int64(7)}
+    path = str(tmp_path / "ckpt_00000007.npz")
+    np.savez(path, **dict(_flatten(state)))
+
+    x = np.random.default_rng(0).uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    out1 = XFeat(weights=path, top_k=32,
+                 detection_threshold=0.012).detectAndCompute(x)[0]
+    out2 = XFeat(weights=params, top_k=32,
+                 detection_threshold=0.012).detectAndCompute(x)[0]
+    np.testing.assert_allclose(out1["keypoints"], out2["keypoints"])
+
+
 def test_profiling_helpers(tmp_path):
     from accelerated_features_tpu.utils.profiling import (FPSMeter,
                                                           speed_of_light,
