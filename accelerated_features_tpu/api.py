@@ -117,38 +117,65 @@ class XFeat:
         self.fused_matching = (jax.default_backend() == "tpu"
                                if fused_matching is None else fused_matching)
         self._lighterglue = None
+        # per-instance jit cache: an instance-level dict (not lru_cache on
+        # methods, which keys on self and pins every instance + its device
+        # params in a class-level cache for the process lifetime). Keys
+        # include the config attributes the closures capture, so mutating
+        # e.g. compute_dtype takes effect on the next call.
+        self._jitted: Dict[Any, Any] = {}
 
     # ---------------- jitted device programs (cached per static config) ----
 
-    @functools.lru_cache(maxsize=64)
+    def _cached(self, key, build):
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = self._jitted[key] = build()
+        return fn
+
     def _dac_fn(self, top_k, thr):
-        return jax.jit(functools.partial(
-            detect_and_compute, top_k=top_k, detection_threshold=thr,
-            compute_dtype=self.compute_dtype))
+        # resolve XFEAT_FUSED_STEM here (not at trace time inside jit) so
+        # toggling the env var between calls is honored even for shapes
+        # that were already compiled with the other setting
+        import os
+        fused_stem = os.environ.get("XFEAT_FUSED_STEM", "0") == "1"
+        return self._cached(
+            ("dac", top_k, thr, self.compute_dtype, fused_stem),
+            lambda: jax.jit(functools.partial(
+                detect_and_compute, top_k=top_k, detection_threshold=thr,
+                compute_dtype=self.compute_dtype, fused_stem=fused_stem)))
 
-    @functools.lru_cache(maxsize=64)
     def _dacd_fn(self, top_k, multiscale):
-        return jax.jit(functools.partial(
-            detect_and_compute_dense, top_k=top_k, multiscale=multiscale,
-            compute_dtype=self.compute_dtype))
+        import os
+        fused_stem = os.environ.get("XFEAT_FUSED_STEM", "0") == "1"
+        return self._cached(
+            ("dacd", top_k, multiscale, self.compute_dtype, fused_stem),
+            lambda: jax.jit(functools.partial(
+                detect_and_compute_dense, top_k=top_k,
+                multiscale=multiscale, compute_dtype=self.compute_dtype,
+                fused_stem=fused_stem)))
 
-    @functools.lru_cache(maxsize=8)
     def _match_fn(self, min_cossim):
-        return jax.jit(functools.partial(mnn_match, min_cossim=min_cossim))
+        return self._cached(
+            ("match", min_cossim),
+            lambda: jax.jit(functools.partial(mnn_match,
+                                              min_cossim=min_cossim)))
 
-    @functools.lru_cache(maxsize=8)
     def _batch_match_fn(self, min_cossim):
-        if self.fused_matching:
-            from .ops.pallas.mnn import batch_mnn_match_fused
-            return jax.jit(functools.partial(batch_mnn_match_fused,
+        def build():
+            if self.fused_matching:
+                from .ops.pallas.mnn import batch_mnn_match_fused
+                return jax.jit(functools.partial(batch_mnn_match_fused,
+                                                 min_cossim=min_cossim))
+            return jax.jit(functools.partial(batch_mnn_match_dense,
                                              min_cossim=min_cossim))
-        return jax.jit(functools.partial(batch_mnn_match_dense,
-                                         min_cossim=min_cossim))
+        return self._cached(("bmatch", min_cossim, self.fused_matching),
+                            build)
 
-    @functools.lru_cache(maxsize=8)
     def _refine_fn(self, fine_conf):
-        return jax.jit(functools.partial(refine_matches,
-                                         fine_conf=fine_conf))
+        return self._cached(
+            ("refine", fine_conf),
+            lambda: jax.jit(functools.partial(refine_matches,
+                                              fine_conf=fine_conf)))
 
     # ---------------- input handling ----------------------------------------
 
@@ -157,14 +184,23 @@ class XFeat:
         (B,H,W,C) float in [0,1] (reference parse_input, xfeat.py:396-403,
         but NHWC). 3-D inputs whose last dim is a channel count (1/3/4) are
         single images; otherwise they are grayscale batches."""
-        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        is_np = not isinstance(x, jax.Array)
+        x = np.asarray(x) if is_np else x
         if x.ndim == 2:
             x = x[..., None]
         if x.ndim == 3:
             x = x[None] if x.shape[-1] in (1, 3, 4) else x[..., None]
-        if x.dtype == np.uint8 or (hasattr(x, "dtype") and
-                                   x.dtype == jnp.uint8):
+        if np.issubdtype(np.dtype(x.dtype), np.integer):
+            # any integer image is 0-255 pixel data (uint16 cameras
+            # included: the reference divides every numpy input by 255,
+            # xfeat.py:400-401)
             x = jnp.asarray(x).astype(jnp.float32) / 255.0
+        elif is_np and np.issubdtype(x.dtype, np.floating) and \
+                x.size and float(np.max(x)) > 1.5:
+            # float numpy input in 0-255 range (e.g. cv2 image cast to
+            # float): reference semantics divide it by 255 too; device
+            # arrays are trusted to already be in [0, 1]
+            x = np.asarray(x, np.float32) / 255.0
         return jnp.asarray(x, dtype=jnp.float32)
 
     # ---------------- public API --------------------------------------------
@@ -275,7 +311,6 @@ class XFeat:
         """Per-item refinement entry (reference xfeat.py:306-325) for API
         compatibility; prefer match_xfeat_star which is fully batched."""
         idx0, idx1 = matches[batch_idx]
-        k = len(idx0)
         K = d0["keypoints"].shape[1]
         idx1_full = np.zeros((K,), np.int32)
         mmask = np.zeros((K,), bool)

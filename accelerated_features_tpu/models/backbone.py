@@ -185,7 +185,8 @@ def xfeat_forward(params: Dict[str, Any], x: jax.Array, *, train: bool = False,
         # fused_stem=True with an incompatible config is a caller bug
         raise ValueError(
             "fused_stem=True requires inference (train=False) and "
-            "BatchNorm folded into conv biases (fold_bn_params)")
+            "BatchNorm folded into conv biases "
+            "(models.params.fold_batchnorm)")
     if fused_stem and not train and folded:
         from ..ops.pallas.stem import stem_fused
         stem_out = stem_fused(params, x)

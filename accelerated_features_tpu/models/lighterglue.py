@@ -441,8 +441,15 @@ class LighterGlue:
             if weights.endswith(".npz"):
                 from ..api import _unflatten
                 data = np.load(weights, allow_pickle=True)
-                self.params = _unflatten(
-                    {k: jnp.asarray(v) for k, v in data.items()})
+                keys = list(data.keys())
+                if any(k.startswith("params/") for k in keys):
+                    # full train-state checkpoint (params/ + opt_state/ +
+                    # step): extract the params subtree, like api.load_params
+                    flat = {k[len("params/"):]: jnp.asarray(data[k])
+                            for k in keys if k.startswith("params/")}
+                else:
+                    flat = {k: jnp.asarray(data[k]) for k in keys}
+                self.params = _unflatten(flat)
             else:
                 import torch
                 sd = torch.load(weights, map_location="cpu",

@@ -41,10 +41,11 @@ BLOCK_NAMES = ["block1", "block2", "block3", "block4", "block5",
 
 
 def _kaiming_uniform_conv(key, kh, kw, cin, cout):
-    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) on OIHW -> bound
-    sqrt(6 / ((1 + 5) * fan_in / 2)) ... simplifies to 1/sqrt(fan_in)."""
+    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) -> U(-b, b)
+    with b = sqrt(3) * gain / sqrt(fan_in), gain = sqrt(2/(1+5)), i.e.
+    exactly 1/sqrt(fan_in)."""
     fan_in = cin * kh * kw
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    bound = math.sqrt(1.0 / fan_in)
     return jax.random.uniform(key, (kh, kw, cin, cout), jnp.float32,
                               -bound, bound)
 
@@ -81,11 +82,11 @@ def init_xfeat_params(rng: jax.Array) -> Dict[str, Any]:
 
     mlp = []
     for i, (din, dout) in enumerate(FINE_MATCHER_DIMS):
+        # torch Linear default: same kaiming_uniform(a=sqrt(5)) bound
         bound = 1.0 / math.sqrt(din)
         layer = {
             "w": jax.random.uniform(next(keys), (din, dout), jnp.float32,
-                                    -bound * math.sqrt(3.0),
-                                    bound * math.sqrt(3.0)),
+                                    -bound, bound),
             "b": _bias_uniform(next(keys), din, dout),
         }
         if i < len(FINE_MATCHER_DIMS) - 1:
@@ -182,8 +183,9 @@ def fold_batchnorm(params: Dict[str, Any]) -> Dict[str, Any]:
     """Fold BN running stats into conv weights -> inference-only params.
 
     y = (w*x - mean) / sqrt(var+eps)  ==  (w*inv)*x + (-mean*inv).
-    Leaves the fine_matcher MLP BN unfolded (it still uses running stats at
-    inference but folding linear+BN is done the same way)."""
+    Every BN in the tree is folded, including the fine_matcher MLP's
+    (fine_matcher_forward's running-stats branch then sees no 'mean' key).
+    Folded params cannot be re-exported via export_torch_state_dict."""
     def fold_layer(p):
         if "mean" not in p:
             return dict(p)

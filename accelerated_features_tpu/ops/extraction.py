@@ -19,7 +19,7 @@ both behaviours preserved.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,8 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
 def detect_and_compute(params: Dict[str, Any], images: jax.Array,
                        top_k: int = 4096, detection_threshold: float = 0.05,
                        compute_dtype: jnp.dtype = jnp.float32,
-                       topk_approx_recall=0.9999
+                       topk_approx_recall=0.9999,
+                       fused_stem: Optional[bool] = None
                        ) -> Dict[str, jax.Array]:
     """Sparse keypoints + scores + 64-D descriptors (xfeat.py:49-103).
 
@@ -50,11 +51,16 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
     `topk_approx_recall`: recall target for the TPU-accelerated keypoint
     selection on the fused bf16 path (see pallas.detect_fused); None for
     exact selection. Only consulted when the fused path is taken.
+
+    `fused_stem`: forwarded to xfeat_forward; callers under jit should
+    resolve the XFEAT_FUSED_STEM env var BEFORE tracing and pass it here
+    (api.XFeat does), or the env read is frozen into the compiled program.
     """
     x, rh, rw = preprocess_image(images)
     H, W = x.shape[1], x.shape[2]
 
-    feats, logits, heat = xfeat_forward(params, x, compute_dtype=compute_dtype)
+    feats, logits, heat = xfeat_forward(params, x, compute_dtype=compute_dtype,
+                                        fused_stem=fused_stem)
     feats = l2_normalize(feats.astype(jnp.float32))
     logits = logits.astype(jnp.float32)
 
@@ -106,11 +112,13 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
 
 
 def extract_dense(params: Dict[str, Any], images: jax.Array, top_k: int,
-                  compute_dtype: jnp.dtype = jnp.float32):
+                  compute_dtype: jnp.dtype = jnp.float32,
+                  fused_stem: Optional[bool] = None):
     """Dense /8-grid coarse features, top-k by reliability
     (xfeat.py:356-377). Descriptors are raw (NOT L2-normalized)."""
     x, rh, rw = preprocess_image(images)
-    feats, _, heat = xfeat_forward(params, x, compute_dtype=compute_dtype)
+    feats, _, heat = xfeat_forward(params, x, compute_dtype=compute_dtype,
+                                   fused_stem=fused_stem)
     b, h, w, c = feats.shape
     k = min(h * w, top_k)
 
@@ -126,7 +134,8 @@ def extract_dense(params: Dict[str, Any], images: jax.Array, top_k: int,
 
 def extract_dualscale(params: Dict[str, Any], images: jax.Array, top_k: int,
                       s1: float = 0.6, s2: float = 1.3,
-                      compute_dtype: jnp.dtype = jnp.float32):
+                      compute_dtype: jnp.dtype = jnp.float32,
+                      fused_stem: Optional[bool] = None):
     """Two-scale coarse extraction (xfeat.py:379-394): 20% of the budget at
     0.6x, 80% at 1.3x, keypoints mapped back to input coords, per-keypoint
     extraction scale recorded for the refinement step."""
@@ -135,8 +144,8 @@ def extract_dualscale(params: Dict[str, Any], images: jax.Array, top_k: int,
     x2 = resize_bilinear(images, (math.floor(h * s2), math.floor(w * s2)))
 
     k1, k2 = int(top_k * 0.20), int(top_k * 0.80)
-    mk1, f1 = extract_dense(params, x1, k1, compute_dtype)
-    mk2, f2 = extract_dense(params, x2, k2, compute_dtype)
+    mk1, f1 = extract_dense(params, x1, k1, compute_dtype, fused_stem)
+    mk2, f2 = extract_dense(params, x2, k2, compute_dtype, fused_stem)
 
     kpts = jnp.concatenate([mk1 / s1, mk2 / s2], axis=1)
     sc = jnp.concatenate([
@@ -148,13 +157,16 @@ def extract_dualscale(params: Dict[str, Any], images: jax.Array, top_k: int,
 
 def detect_and_compute_dense(params: Dict[str, Any], images: jax.Array,
                              top_k: int = 4096, multiscale: bool = True,
-                             compute_dtype: jnp.dtype = jnp.float32
+                             compute_dtype: jnp.dtype = jnp.float32,
+                             fused_stem: Optional[bool] = None
                              ) -> Dict[str, jax.Array]:
     """Semi-dense coarse extraction dispatcher (xfeat.py:105-128)."""
     if multiscale:
         kpts, sc, feats = extract_dualscale(params, images, top_k,
-                                            compute_dtype=compute_dtype)
+                                            compute_dtype=compute_dtype,
+                                            fused_stem=fused_stem)
     else:
-        kpts, feats = extract_dense(params, images, top_k, compute_dtype)
+        kpts, feats = extract_dense(params, images, top_k, compute_dtype,
+                                    fused_stem)
         sc = jnp.ones(kpts.shape[:2], jnp.float32)
     return {"keypoints": kpts, "descriptors": feats, "scales": sc}

@@ -104,6 +104,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     q: (B, Nq, D); k, v: (B, Nk, D); mask_k: (B, Nk) bool.
     Default scale 1/sqrt(D). Pads Nq/Nk/D to tile boundaries internally."""
+    if not _HAS_PALLAS:
+        raise RuntimeError("jax.experimental.pallas unavailable in this jax "
+                           "build; use attention_reference instead")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, nq, d = q.shape

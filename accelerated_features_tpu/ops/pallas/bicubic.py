@@ -117,6 +117,9 @@ def sample_bicubic_fused(maps: jax.Array, pos: jax.Array,
     (H, W) = `ref_hw` frame; optionally L2-normalize the descriptors.
 
     Drop-in for `l2_normalize(sample_bicubic_matmul(...))` on TPU."""
+    if not _HAS_PALLAS:
+        raise RuntimeError("jax.experimental.pallas unavailable in this jax "
+                           "build; use ops.sample.sample_bicubic_matmul")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = maps.shape

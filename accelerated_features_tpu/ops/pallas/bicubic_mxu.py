@@ -120,6 +120,9 @@ def sample_bicubic_mxu(maps: jax.Array, pos: jax.Array,
     `sample_bicubic_matmul` but with the (K,w,C) row intermediate held in
     VMEM tile-by-tile instead of materialized in HBM. Requires C a power
     of two (descriptors: 64)."""
+    if not _HAS_PALLAS:
+        raise RuntimeError("jax.experimental.pallas unavailable in this jax "
+                           "build; use ops.sample.sample_bicubic_matmul")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = maps.shape

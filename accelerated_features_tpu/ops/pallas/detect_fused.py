@@ -174,6 +174,9 @@ def detect_scores_fused(kheat: jax.Array, reliability: jax.Array,
     embedded in the low 4 mantissa bits (value order preserved; invalid
     slots < 0). Feed to the 3-column reduction + selection in
     `topk_keypoints_fused`."""
+    if not _HAS_PALLAS:
+        raise RuntimeError("jax.experimental.pallas unavailable in this jax "
+                           "build; use ops.detect.score_map + topk_keypoints")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, H, W = kheat.shape
