@@ -43,9 +43,12 @@ def _lib():
     with _LOCK:
         if _LIB is not None:
             return _LIB
+        _cpp = os.path.join(_NATIVE_DIR, "posekit.cpp")
+        # rebuild when the source is newer; a prebuilt .so without the
+        # C++ sources on disk (wheel/minimal deploy) is used as-is
         if not os.path.exists(_SO_PATH) or (
-                os.path.getmtime(_SO_PATH) <
-                os.path.getmtime(os.path.join(_NATIVE_DIR, "posekit.cpp"))):
+                os.path.exists(_cpp) and
+                os.path.getmtime(_SO_PATH) < os.path.getmtime(_cpp)):
             if not _build() and not os.path.exists(_SO_PATH):
                 raise RuntimeError("posekit build failed; run `make -C native`")
         lib = ctypes.CDLL(_SO_PATH)

@@ -162,11 +162,15 @@ def ransac_essential_tpu(p0: jax.Array, p1: jax.Array, K0: jax.Array,
     favg = (K0[0, 0] + K0[1, 1] + K1[0, 0] + K1[1, 1]) / 4.0
     thr_sq = (max_epipolar_error / favg) ** 2
 
-    # hypothesis sampling: random 8-subsets weighted toward valid rows
+    # hypothesis sampling: random 8-subsets WITHOUT replacement via the
+    # Gumbel-top-k trick (categorical sampling with replacement produced
+    # duplicate rows in a minimal sample — a rank-deficient 8-point system
+    # whose null-space vector is an arbitrary invalid E; at N=30 about 61%
+    # of hypotheses were degenerate). Invalid rows stay excluded by logit.
     logits = jnp.where(valid, 0.0, -1e9)
     keys = jax.random.split(key, n_hypotheses)
-    samples = jax.vmap(lambda k: jax.random.categorical(
-        k, logits, shape=(8,)))(keys)                    # (H, 8)
+    samples = jax.vmap(lambda k: jax.lax.top_k(
+        logits + jax.random.gumbel(k, (n,)), 8)[1])(keys)    # (H, 8)
 
     Es = jax.vmap(lambda idx: _eight_point(x0[idx], x1[idx]))(samples)
 

@@ -86,11 +86,13 @@ class IncrementalSlam:
     """Streaming tracker. `extract(image) -> {'keypoints','descriptors'}`
     and `match(d0, d1) -> (idx0, idx1)` are injectable."""
 
-    def __init__(self, K: np.ndarray, config: SlamConfig = SlamConfig(),
+    def __init__(self, K: np.ndarray, config: Optional[SlamConfig] = None,
                  extract: Optional[Callable] = None,
                  match: Optional[Callable] = None):
         self.K = np.asarray(K, np.float64)
-        self.cfg = config
+        # fresh default per instance: SlamConfig is mutable, so a shared
+        # default instance would leak config edits across trackers
+        self.cfg = config if config is not None else SlamConfig()
         self._extract = extract
         self._match = match
         self._xfeat = None

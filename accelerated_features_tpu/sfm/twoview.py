@@ -33,7 +33,11 @@ def triangulate_linear(P0: np.ndarray, P1: np.ndarray, x0: np.ndarray,
         ])
         _, _, vt = np.linalg.svd(A)
         Xh = vt[-1]
-        X[i] = Xh[:3] / Xh[3]
+        # near-zero homogeneous scale = point at infinity (low-parallax
+        # ray pair): keep finite so the positive-depth filter can reject
+        # it instead of letting inf/NaN into the BA problem
+        h = Xh[3] if abs(Xh[3]) > 1e-10 else 1e-10
+        X[i] = Xh[:3] / h
     return X
 
 
@@ -58,10 +62,13 @@ def two_view_reconstruction(mkpts0: np.ndarray, mkpts1: np.ndarray,
     P1 = K @ np.hstack([R, t[:, None]])
     X = triangulate_linear(P0, P1, x0, x1)
 
-    # keep points with positive depth in both views
+    # keep points with positive, finite, bounded depth in both views
+    # (low-parallax rays triangulate to near-infinity; see
+    # triangulate_linear's homogeneous-scale clamp)
     z0 = X[:, 2]
     z1 = (R @ X.T).T[:, 2] + t[2]
-    keep = (z0 > 1e-3) & (z1 > 1e-3)
+    keep = ((z0 > 1e-3) & (z1 > 1e-3) & np.isfinite(X).all(axis=1)
+            & (np.linalg.norm(X, axis=1) < 1e4))
     X = X[keep]
     x0, x1 = x0[keep], x1[keep]
     npts = len(X)

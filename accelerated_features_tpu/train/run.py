@@ -35,8 +35,8 @@ from ..utils.checkpoint import resume_or_init, save_checkpoint
 from .augmentation import (AugConfig, make_pair, pair_correspondences,
                            pair_correspondences_full)
 from .megadepth import ImageFolderSource, MegaDepthLoader
-from .trainer import (TrainConfig, init_train_state, make_sharded_train_step,
-                      train_step)
+from .trainer import (TrainConfig, init_train_state,
+                      make_sharded_train_step)
 from .warp import corr_to_fixed, spvs_coarse, spvs_full
 
 
@@ -81,10 +81,10 @@ class SyntheticBatcher:
         self._key = jax.random.key(0)
 
         def gen(key, images):
-            k1, k2 = jax.random.split(key)
+            k1, k2, k3 = jax.random.split(key, 3)
             pair = make_pair(k1, images, cfg, difficulty, tps_prob=0.7)
             corrs, mask = pair_correspondences(pair, cfg)
-            corrs, mask = corr_to_fixed(corrs, mask, max_corrs)
+            corrs, mask = corr_to_fixed(corrs, mask, max_corrs, key=k3)
             # independent jittered full-res set for the teacher-free
             # keypoint_position_loss (rows need not align with `corrs`;
             # already fixed-shape at one point per /8 cell — kept whole,
@@ -112,11 +112,10 @@ class MegaDepthBatcher:
         self.max_corrs = max_corrs
 
         def gen(d, key):
+            k1, k2 = jax.random.split(key)
             corrs, mask = spvs_coarse(d, 8)
-            corrs, mask = corr_to_fixed(
-                jnp.concatenate([corrs[..., :2], corrs[..., 2:]], -1),
-                mask, max_corrs)
-            cf, cf_mask = spvs_full(d, key, 8)
+            corrs, mask = corr_to_fixed(corrs, mask, max_corrs, key=k1)
+            cf, cf_mask = spvs_full(d, k2, 8)
             g0 = jnp.mean(d["image0"], -1, keepdims=True)
             g1 = jnp.mean(d["image1"], -1, keepdims=True)
             return {"image0": g0, "image1": g1, "corrs": corrs,
@@ -186,6 +185,20 @@ def main():
         "xfeat_default" else args.batch_size
     eff_batch = (bs_synth + bs_md) if args.training_type == "xfeat_default" \
         else args.batch_size
+    if (use_synth and bs_synth < 1) or (use_md and bs_md < 1):
+        raise SystemExit(f"--batch_size {args.batch_size} leaves an empty "
+                         f"sub-batch under the 40/60 split of "
+                         f"'{args.training_type}'; use batch_size >= 3")
+    # a training_type that requires a data source must get its path (only
+    # --dry_run may run on the fixed random batch; otherwise a forgotten
+    # path would silently 'train' n_steps on noise and write checkpoints)
+    if not args.dry_run:
+        if use_synth and not args.synthetic_root_path:
+            raise SystemExit(f"--training_type {args.training_type} needs "
+                             "--synthetic_root_path (or pass --dry_run)")
+        if use_md and not args.megadepth_root_path:
+            raise SystemExit(f"--training_type {args.training_type} needs "
+                             "--megadepth_root_path (or pass --dry_run)")
 
     n_dev = len(jax.devices())
     if args.mesh:

@@ -161,11 +161,22 @@ def spvs_full(data: Dict[str, jax.Array], key: jax.Array, scale: int = 8
     return jnp.where(mask[..., None], corrs_full, 0.0), mask
 
 
-def corr_to_fixed(corrs: jax.Array, mask: jax.Array, max_corrs: int
-                  ) -> Tuple[jax.Array, jax.Array]:
+def corr_to_fixed(corrs: jax.Array, mask: jax.Array, max_corrs: int,
+                  key: jax.Array = None) -> Tuple[jax.Array, jax.Array]:
     """Compact (pack valid first) and pad/truncate to a fixed M — keeps the
-    trainer's shapes static across batches."""
-    order = jnp.argsort(~mask, axis=1, stable=True)  # valid first
+    trainer's shapes static across batches.
+
+    `key`: when given, valid correspondences are randomly subsampled when
+    they exceed `max_corrs`. Without it, truncation keeps the first
+    `max_corrs` valid rows in raster order — a systematic top-of-image
+    bias whenever a pair has more than `max_corrs` valid correspondences
+    (the reference trains on ALL correspondences, train.py:222-249, so
+    the fixed-budget port must at least sample them uniformly)."""
+    if key is not None:
+        prio = jnp.where(mask, jax.random.uniform(key, mask.shape), 2.0)
+        order = jnp.argsort(prio, axis=1)            # random valid first
+    else:
+        order = jnp.argsort(~mask, axis=1, stable=True)  # valid first
     corrs = jnp.take_along_axis(corrs, order[..., None], axis=1)
     mask = jnp.take_along_axis(mask, order, axis=1)
     return corrs[:, :max_corrs], mask[:, :max_corrs]

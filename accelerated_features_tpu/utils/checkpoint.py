@@ -81,17 +81,29 @@ def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
     state pytree)."""
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=True))
-        leaves, treedef = jax.tree.flatten(target)
         flat_target = _flatten(target)
-        assert set(flat) == set(flat_target), "checkpoint/state key mismatch"
-        restored_flat = {k: flat[k] for k in flat_target}
-        # rebuild in target order
-        new_leaves = []
-        for key, leaf in zip(_flatten_keys(target), leaves):
-            new_leaves.append(restored_flat[key].astype(
-                np.asarray(leaf).dtype) if hasattr(leaf, "dtype")
-                else restored_flat[key])
-        return jax.tree.unflatten(treedef, new_leaves)
+        missing = set(flat_target) - set(flat)
+        extra = set(flat) - set(flat_target)
+        assert not missing and not extra, (
+            f"checkpoint/state key mismatch: missing={sorted(missing)[:5]} "
+            f"extra={sorted(extra)[:5]}")
+        # Rebuild STRUCTURALLY by key path, mirroring _flatten's traversal.
+        # (jax.tree.flatten sorts dict keys while _flatten uses insertion
+        # order — pairing leaves positionally across the two orders used to
+        # scramble values between same-shaped subtrees, e.g. loading Adam
+        # moments as network weights on npz resume.)
+        def rebuild(t, prefix=""):
+            if isinstance(t, dict):
+                return {k: rebuild(v, f"{prefix}{k}/") for k, v in t.items()}
+            if isinstance(t, (list, tuple)) and not hasattr(t, "shape"):
+                seq = [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(t)]
+                if hasattr(t, "_fields"):          # namedtuple (optax states)
+                    return type(t)(*seq)
+                return type(t)(seq)
+            val = flat[prefix[:-1]]
+            return val.astype(np.asarray(t).dtype) if hasattr(t, "dtype") \
+                else val
+        return rebuild(target)
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), target)

@@ -51,6 +51,37 @@ def test_xfeat_loads_train_state_npz(tmp_path):
     np.testing.assert_allclose(out1["keypoints"], out2["keypoints"])
 
 
+def test_restore_checkpoint_npz_key_pairing(tmp_path):
+    """npz restore must pair leaves BY KEY PATH, not by positional zip of
+    two differently-ordered flattenings (jax.tree.flatten sorts dict keys;
+    _flatten uses insertion order) — the old code could silently load Adam
+    moments into params slots on resume. Uses same-shaped subtrees so a
+    scramble changes values, and a namedtuple to mimic optax state."""
+    import collections
+    from accelerated_features_tpu.utils.checkpoint import (_flatten,
+                                                           restore_checkpoint)
+
+    Opt = collections.namedtuple("Opt", ["mu", "nu"])
+    state = {
+        "params": {"w": jnp.arange(3.0)},
+        "opt_state": (Opt(mu={"w": jnp.arange(3.0) + 100},
+                          nu={"w": jnp.arange(3.0) + 200}),),
+        "step": np.int64(5),
+    }
+    path = str(tmp_path / "ckpt_00000005.npz")
+    np.savez(path, **dict(_flatten(state)))
+
+    target = jax.tree.map(lambda x: np.zeros_like(x), state)
+    out = restore_checkpoint(path, target)
+    np.testing.assert_array_equal(out["params"]["w"], [0, 1, 2])
+    np.testing.assert_array_equal(out["opt_state"][0].mu["w"],
+                                  [100, 101, 102])
+    np.testing.assert_array_equal(out["opt_state"][0].nu["w"],
+                                  [200, 201, 202])
+    assert int(out["step"]) == 5
+    assert isinstance(out["opt_state"][0], Opt)
+
+
 def test_profiling_helpers(tmp_path):
     from accelerated_features_tpu.utils.profiling import (FPSMeter,
                                                           speed_of_light,
