@@ -11,6 +11,9 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
+# numpy < 2.0 ships only the deprecated spelling
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 
 def relative_pose_error(T_0to1: np.ndarray, R_est: np.ndarray,
                         t_est: np.ndarray, ignore_gt_t_thr: float = 0.0
@@ -49,7 +52,7 @@ def error_auc(errors: Sequence[float], thresholds=(5, 10, 20)
         last_index = np.searchsorted(errors, thr)
         y = np.concatenate([recall[:last_index], [recall[last_index - 1]]])
         x = np.concatenate([errors[:last_index], [thr]])
-        out[f"auc@{thr}"] = float(np.trapezoid(y, x) / thr)
+        out[f"auc@{thr}"] = float(_trapezoid(y, x) / thr)
     return out
 
 

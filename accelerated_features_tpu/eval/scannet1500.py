@@ -53,14 +53,26 @@ def rel_pose_0to1(pose0_c2w: np.ndarray, pose1_c2w: np.ndarray) -> np.ndarray:
 
 
 def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
-                    cache_path: Optional[str] = None, progress: bool = True
+                    cache_path: Optional[str] = None, progress: bool = True,
+                    cache_meta: Optional[str] = None
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Run the matcher over all pairs, with npz caching
-    (reference scannet1500.py:207-230)."""
+    (reference scannet1500.py:207-230).
+
+    `cache_meta`: identity string for the matcher configuration (matcher
+    name, weights, top_k, pair list). Stored in the cache file; a cached
+    file whose meta differs (or whose pair count differs) is recomputed
+    instead of silently serving another configuration's matches."""
     import cv2
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path, allow_pickle=True)
-        return [tuple(m) for m in data["matches"]]
+        stored_meta = str(data["meta"]) if "meta" in data else None
+        if ((cache_meta is None or stored_meta == cache_meta)
+                and len(data["matches"]) == len(pairs)):
+            return [tuple(m) for m in data["matches"]]
+        print(f"[ScanNet-1500] cache {cache_path} is for a different "
+              f"configuration ({stored_meta!r} != {cache_meta!r}); "
+              "recomputing matches")
     out = []
     it = pairs
     if progress:
@@ -83,7 +95,8 @@ def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
         arr = np.empty(len(out), dtype=object)
         for i, m in enumerate(out):
             arr[i] = m
-        np.savez_compressed(cache_path, matches=arr)
+        np.savez_compressed(cache_path, matches=arr,
+                            meta=np.str_(cache_meta or ""))
     return out
 
 
@@ -122,33 +135,41 @@ def run_threshold_sweep(matches, gt: List[dict], thresholds=THRESHOLDS,
             h.update(np.ascontiguousarray(mk0, np.float32).tobytes())
             h.update(np.ascontiguousarray(mk1, np.float32).tobytes())
         tag = f"{pose_backend}_{h.hexdigest()[:10]}"
-    for thr in thresholds:
-        err_path = (os.path.join(cache_dir, f"errors_{tag}_thr_{thr:g}.npy")
-                    if cache_dir else None)
-        if err_path and os.path.exists(err_path):
-            pose_errs = np.load(err_path).tolist()
-        else:
-            jobs = [(m[0], m[1], g["K"], g["T_0to1"], thr, pose_backend)
-                    for m, g in zip(matches, gt)]
-            if workers > 1 and pose_backend == "tpu":
-                raise ValueError("pose_backend='tpu' is single-process "
-                                 "(one device); use workers<=1")
-            if workers > 1:
-                # spawn (not fork): the parent may hold a live TPU client,
-                # and spawned workers only need numpy + the ctypes posekit
-                # library
-                import multiprocessing as mp
-                with ProcessPoolExecutor(
-                        max_workers=workers,
-                        mp_context=mp.get_context("spawn")) as ex:
+    if workers > 1 and pose_backend == "tpu":
+        raise ValueError("pose_backend='tpu' is single-process "
+                         "(one device); use workers<=1")
+    # one spawn pool for the WHOLE sweep: each spawned worker re-imports
+    # the package (incl. jax) at startup, so per-threshold pools would pay
+    # that cost 12x. spawn (not fork): the parent may hold a live TPU
+    # client; workers build the ctypes posekit library lazily on first use
+    # (the build is atomic-rename, so concurrent first builds are safe).
+    ex = None
+    if workers > 1:
+        import multiprocessing as mp
+        ex = ProcessPoolExecutor(max_workers=workers,
+                                 mp_context=mp.get_context("spawn"))
+    try:
+        for thr in thresholds:
+            err_path = (os.path.join(cache_dir,
+                                     f"errors_{tag}_thr_{thr:g}.npy")
+                        if cache_dir else None)
+            if err_path and os.path.exists(err_path):
+                pose_errs = np.load(err_path).tolist()
+            else:
+                jobs = [(m[0], m[1], g["K"], g["T_0to1"], thr, pose_backend)
+                        for m, g in zip(matches, gt)]
+                if ex is not None:
                     pose_errs = list(ex.map(_pose_error_one, jobs,
                                             chunksize=16))
-            else:
-                pose_errs = [_pose_error_one(j) for j in jobs]
-            if err_path:
-                np.save(err_path, np.asarray(pose_errs, np.float64))
-        errors = [{"R_err": e, "t_err": e} for e in pose_errs]
-        results[f"thr_{thr}"] = pose_errors_to_summary(errors)
+                else:
+                    pose_errs = [_pose_error_one(j) for j in jobs]
+                if err_path:
+                    np.save(err_path, np.asarray(pose_errs, np.float64))
+            errors = [{"R_err": e, "t_err": e} for e in pose_errs]
+            results[f"thr_{thr}"] = pose_errors_to_summary(errors)
+    finally:
+        if ex is not None:
+            ex.shutdown()
     return results
 
 
@@ -166,9 +187,11 @@ def run_benchmark(matcher_fn, data_root: str, npz_path: str,
                   workers: int = 0,
                   cache_dir: Optional[str] = None,
                   summary_path: Optional[str] = None,
-                  pose_backend: str = "posekit") -> Dict[str, float]:
+                  pose_backend: str = "posekit",
+                  cache_meta: Optional[str] = None) -> Dict[str, float]:
     pairs = load_pair_list(npz_path)
-    matches = extract_matches(matcher_fn, data_root, pairs, cache_path)
+    matches = extract_matches(matcher_fn, data_root, pairs, cache_path,
+                              cache_meta=cache_meta)
     gt = []
     for pair in pairs:
         K = np.loadtxt(os.path.join(data_root, pair["intrinsic"]))[:3, :3]
@@ -258,10 +281,14 @@ def main():
     from .megadepth1500 import make_matcher
     fn = make_matcher(args.matcher, args.top_k, args.weights,
                       lg_weights=args.lg_weights)
+    meta = (f"matcher={args.matcher} top_k={args.top_k} "
+            f"weights={args.weights} lg_weights={args.lg_weights} "
+            f"npz={os.path.basename(args.npz)}")
     print(json.dumps(run_benchmark(fn, args.data_root, args.npz, args.cache,
                                    args.workers, cache_dir=args.cache_dir,
                                    summary_path=args.out,
-                                   pose_backend=args.pose_backend), indent=2))
+                                   pose_backend=args.pose_backend,
+                                   cache_meta=meta), indent=2))
 
 
 if __name__ == "__main__":

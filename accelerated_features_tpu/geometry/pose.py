@@ -28,13 +28,22 @@ def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "posekit.cpp")
     if not os.path.exists(src):
         return False
+    # compile to a private temp name, then atomically rename into place:
+    # concurrent first-use builds (e.g. a spawned eval worker pool) must
+    # never dlopen a partially written .so
+    tmp = f"{_SO_PATH}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
-             "-o", _SO_PATH, src],
+             "-o", tmp, src],
             check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _SO_PATH)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -109,19 +109,6 @@ def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
         return ckptr.restore(os.path.abspath(path), target)
 
 
-def _flatten_keys(tree, prefix=""):
-    keys = []
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            keys.extend(_flatten_keys(v, f"{prefix}{k}/"))
-    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "shape"):
-        for i, v in enumerate(tree):
-            keys.extend(_flatten_keys(v, f"{prefix}{i}/"))
-    else:
-        keys.append(prefix[:-1])
-    return keys
-
-
 def load_params_from_checkpoint(ckpt_dir_or_path: str):
     """Extract the model params pytree from a training checkpoint, for
     handing to the inference engine (XFeat(weights=params))."""

@@ -137,9 +137,8 @@ def bench_ba(quick):
     ndev = len(jax.devices())
     if ndev > 1:
         from accelerated_features_tpu.parallel import make_mesh
-        from accelerated_features_tpu.parallel.ba import (
-            bundle_adjust_sharded, pad_observations)
-        base = _synth_ba(n_cams, n_pts, obs)  # per-device load
+        from accelerated_features_tpu.parallel.ba import bundle_adjust_sharded
+        base = p                          # same args + seed as p above
         big = _synth_ba(n_cams, n_pts * ndev // 4, obs * 4)  # ndev x load
         mesh = make_mesh((ndev, 1))
         t1 = time_call(f, base, iters=3)

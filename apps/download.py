@@ -51,8 +51,11 @@ expected layout:
 
 
 def fetch(url: str, dest: str) -> bool:
+    # curl needs -f so HTTP errors fail the command instead of writing the
+    # error page to dest (which would then crash tarfile instead of taking
+    # the graceful manual-placement path)
     for cmd in (["wget", "-q", "-O", dest, url],
-                ["curl", "-sL", "-o", dest, url]):
+                ["curl", "-sSfL", "-o", dest, url]):
         try:
             subprocess.run(cmd, check=True, timeout=3600)
             return os.path.getsize(dest) > 0

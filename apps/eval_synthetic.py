@@ -95,7 +95,13 @@ def main():
 
     prec, nm, mace, ok = [], [], [], 0
     for i in range(args.pairs):
-        im0 = cv2.imread(paths[i % len(paths)])
+        path = paths[i % len(paths)]
+        im0 = cv2.imread(path)
+        if im0 is None:
+            print(f"[eval_synthetic] unreadable image skipped: {path}")
+            prec.append(0.0)
+            nm.append(0)
+            continue
         h, w = im0.shape[:2]
         H_gt = gt_homography(rng, w, h)
         im1 = cv2.warpPerspective(im0, H_gt, (w, h))

@@ -101,11 +101,13 @@ def main():
     # drop tracks behind any observing camera or absurdly far
     from accelerated_features_tpu.sfm import se3_matrix
     Ts = np.asarray(se3_matrix(jnp.asarray(np.asarray(poses, np.float32))))
-    ok = np.ones(n_tracks, bool)
     z = np.einsum("nij,mj->nmi", Ts[:, :3, :3], X)[:, :, 2] + Ts[:, None, 2, 3]
-    for t in range(n_tracks):
-        cams_t = obs_cam[obs_pt == t]
-        ok[t] = (z[cams_t, t] > 1e-2).all() and np.linalg.norm(X[t]) < 1e4
+    # vectorized per-track cheirality: a track is bad if ANY of its
+    # observations sees it at non-positive depth (the per-track Python
+    # loop was O(n_tracks * n_obs))
+    bad_obs = z[obs_cam, obs_pt] <= 1e-2
+    ok = ((np.bincount(obs_pt, weights=bad_obs, minlength=n_tracks) == 0)
+          & (np.linalg.norm(X, axis=1) < 1e4))
     keep_obs = ok[obs_pt]
     remap = np.cumsum(ok) - 1
     obs_cam = obs_cam[keep_obs]

@@ -32,7 +32,15 @@ def main():
                                               absolute_trajectory_error)
 
     paths = sorted(glob.glob(os.path.join(args.images, "*")))[:args.max_frames]
-    first = cv2.imread(paths[0])
+    # the first READABLE image defines the resolution; skip stray
+    # non-image files (gt.npy, README, corrupt frames)
+    first = None
+    for p in paths:
+        first = cv2.imread(p)
+        if first is not None:
+            break
+    if first is None:
+        raise SystemExit(f"no readable images in {args.images}")
     h, w = first.shape[:2]
     fx = args.fx or 1.2 * max(h, w)
     K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]])

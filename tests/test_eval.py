@@ -298,13 +298,22 @@ def test_scannet_match_cache_roundtrip(tmp_path):
              {"im0": "b.jpg", "im1": "a.jpg"}]
     cache = str(tmp_path / "cache.npz")
     m1 = extract_matches(fake_matcher, str(tmp_path), pairs, cache,
-                         progress=False)
+                         progress=False, cache_meta="matcher=a top_k=64")
     m2 = extract_matches(fake_matcher, str(tmp_path), pairs, cache,
-                         progress=False)
+                         progress=False, cache_meta="matcher=a top_k=64")
     assert calls["n"] == 2  # second call served from cache
     for (a0, a1), (b0, b1) in zip(m1, m2):
         np.testing.assert_allclose(a0, b0)
         np.testing.assert_allclose(a1, b1)
+    # a DIFFERENT matcher configuration must invalidate the cache instead
+    # of silently serving the old matcher's matches
+    extract_matches(fake_matcher, str(tmp_path), pairs, cache,
+                    progress=False, cache_meta="matcher=b top_k=64")
+    assert calls["n"] == 4
+    # and meta=None (library callers without identity info) accepts any
+    extract_matches(fake_matcher, str(tmp_path), pairs, cache,
+                    progress=False)
+    assert calls["n"] == 4
 
 
 def test_match_lighterglue_requires_weights():
