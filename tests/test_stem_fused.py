@@ -80,6 +80,24 @@ def test_xfeat_forward_explicit_fused_stem_raises_unfolded():
         xfeat_forward(folded, x, train=True, fused_stem=True)
 
 
+def test_env_toggle_rebuilds_jit(monkeypatch):
+    """XFEAT_FUSED_STEM is resolved at jit-construction time in the API:
+    toggling it between calls must produce a different cached program (the
+    old trace-time read silently reused the stale executable, so an A/B
+    'measuring the fused kernel' would time the XLA stem)."""
+    from accelerated_features_tpu.api import XFeat
+    xf = XFeat(weights=None, top_k=16, detection_threshold=0.012)
+    x = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    monkeypatch.delenv("XFEAT_FUSED_STEM", raising=False)
+    out0 = xf.detectAndCompute(x)[0]
+    monkeypatch.setenv("XFEAT_FUSED_STEM", "1")
+    out1 = xf.detectAndCompute(x)[0]
+    keys = [k for k in xf._jitted if k[0] == "dac"]
+    assert len(keys) == 2 and {k[-1] for k in keys} == {False, True}
+    # same keypoints either way (stem kernel is numerically equivalent)
+    np.testing.assert_allclose(out0["keypoints"], out1["keypoints"])
+
+
 def test_xfeat_forward_fused_stem_routing(folded_params):
     from accelerated_features_tpu.models.backbone import xfeat_forward
     rng = np.random.default_rng(11)
