@@ -243,6 +243,43 @@ def main():
                     for k in parts[0]}
         n_steps = args.n_steps
 
+    class _Prefetcher:
+        """Producer thread for get_batch(): overlaps host-side batch work
+        (MegaDepth disk/h5 IO — the reference's stated bottleneck,
+        train.py:70-71 — plus numpy assembly and dispatch of the on-device
+        augmentation) with the device training step. Queue depth 2 keeps
+        exactly one batch in flight without ballooning device memory."""
+
+        def __init__(self, fn, depth: int = 2):
+            import queue as _q
+            import threading as _t
+            self._queue = _q.Queue(maxsize=depth)
+            self._stop = False
+
+            def worker():
+                while not self._stop:
+                    try:
+                        item = (fn(), None)
+                    except BaseException as e:   # surface in the main loop
+                        item = (None, e)
+                    self._queue.put(item)
+                    if item[1] is not None:
+                        return
+            self._thread = _t.Thread(target=worker, daemon=True)
+            self._thread.start()
+
+        def __call__(self):
+            batch, err = self._queue.get()
+            if err is not None:
+                raise err
+            return batch
+
+        def stop(self):
+            self._stop = True
+
+    if not (args.dry_run or (synth is None and md is None)):
+        get_batch = _Prefetcher(get_batch)
+
     def prepare(batch):
         if teacher_fn is not None:
             batch = dict(batch)
