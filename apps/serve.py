@@ -1,0 +1,224 @@
+"""Batching inference server for sparse extraction + matching.
+
+The reference has no serving story (single-process scripts only); this is
+the deployment shape a TPU chip wants: one process owns the device, many
+clients submit images, and a batcher groups same-shape requests into one
+fixed-shape `detectAndCompute` call so the chip always sees batched work
+(the throughput headline is batched VGA, STATUS.md). Design:
+
+  * stdlib only (ThreadingHTTPServer) — no framework dependencies;
+  * handler threads enqueue (shape-bucketed) requests; ONE device thread
+    drains the queue, groups up to --max_batch same-shape images waiting
+    at most --max_wait_ms, runs the jitted engine, and fans results back
+    out — so device programs are reused across requests and no two
+    threads ever touch the TPU concurrently;
+  * responses are npz bytes (keypoints/scores/descriptors/valid) — the
+    same arrays the Python API returns.
+
+Endpoints:
+  POST /detect      body = npz with array 'image' (H,W[,C]) uint8/float,
+                    or a PNG/JPG byte stream; query ?top_k=&threshold=
+  POST /match       body = npz with 'image0', 'image1' -> mkpts0, mkpts1
+  GET  /healthz     liveness + device + served-request counter
+
+Usage:  python apps/serve.py --port 8500 --weights weights/xfeat.npz
+Client: see tests/test_serve.py or
+        curl -s -X POST --data-binary @img.png localhost:8500/detect
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _Request:
+    __slots__ = ("image", "top_k", "threshold", "event", "result", "error")
+
+    def __init__(self, image, top_k, threshold):
+        self.image = image
+        self.top_k = top_k
+        self.threshold = threshold
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class InferenceService:
+    """Single device-owner thread with shape-bucketed request batching."""
+
+    def __init__(self, xfeat, max_batch: int = 16, max_wait_ms: float = 5.0):
+        self.xfeat = xfeat
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.served = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, top_k=None, threshold=None,
+               timeout: float = 60.0):
+        req = _Request(image, top_k, threshold)
+        self.queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def stop(self):
+        self._stop = True
+
+    # ---------------- device thread ----------------
+
+    def _loop(self):
+        while not self._stop:
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            # group same (shape, top_k, threshold) requests arriving
+            # within the batching window
+            group = [first]
+            key = (first.image.shape, first.top_k, first.threshold)
+            deadline = time.monotonic() + self.max_wait
+            leftover = []
+            while len(group) < self.max_batch:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    r = self.queue.get(timeout=rem)
+                except queue.Empty:
+                    break
+                if (r.image.shape, r.top_k, r.threshold) == key:
+                    group.append(r)
+                else:
+                    leftover.append(r)     # different bucket: next rounds
+            for r in leftover:
+                self.queue.put(r)
+            try:
+                batch = np.stack([r.image for r in group])
+                outs = self.xfeat.detectAndCompute(
+                    batch, top_k=first.top_k,
+                    detection_threshold=first.threshold)
+                for r, o in zip(group, outs):
+                    r.result = o
+                    r.event.set()
+                self.served += len(group)
+            except Exception as e:           # pragma: no cover - device err
+                for r in group:
+                    r.error = e
+                    r.event.set()
+
+
+def _decode_image(body: bytes) -> np.ndarray:
+    if body[:6] == b"\x93NUMPY" or body[:2] == b"PK":   # .npy / .npz
+        data = np.load(io.BytesIO(body), allow_pickle=False)
+        return data["image"] if hasattr(data, "files") else data
+    import cv2
+    img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("body is neither npy/npz nor a decodable image")
+    return img
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def make_handler(service: InferenceService, xfeat):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):     # quiet access log
+            pass
+
+        def _send(self, code, body, ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                import jax
+                info = {"ok": True, "backend": jax.default_backend(),
+                        "served": service.served}
+                self._send(200, json.dumps(info).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found")
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                from urllib.parse import parse_qs, urlparse
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                top_k = int(q["top_k"][0]) if "top_k" in q else None
+                thr = float(q["threshold"][0]) if "threshold" in q else None
+                if u.path == "/detect":
+                    out = service.submit(_decode_image(body), top_k, thr)
+                    self._send(200, _npz_bytes(**{
+                        k: np.asarray(v) for k, v in out.items()}))
+                elif u.path == "/match":
+                    data = np.load(io.BytesIO(body), allow_pickle=False)
+                    mk0, mk1 = xfeat.match_xfeat(data["image0"],
+                                                 data["image1"],
+                                                 top_k=top_k or 4096)
+                    self._send(200, _npz_bytes(mkpts0=mk0, mkpts1=mk1))
+                else:
+                    self._send(404, b"not found")
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+    return Handler
+
+
+def serve(host="127.0.0.1", port=8500, weights=None, top_k=4096,
+          max_batch=16, max_wait_ms=5.0, compute_dtype=None):
+    from accelerated_features_tpu import XFeat
+    import jax
+    if compute_dtype is None:
+        compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                         else "float32")
+    xfeat = XFeat(weights=weights, top_k=top_k,
+                  compute_dtype=compute_dtype)
+    service = InferenceService(xfeat, max_batch, max_wait_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service, xfeat))
+    httpd.service = service            # for tests / shutdown hooks
+    return httpd
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--host", type=str, default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--weights", type=str, default=None)
+    ap.add_argument("--top_k", type=int, default=4096)
+    ap.add_argument("--max_batch", type=int, default=16)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    args = ap.parse_args()
+    httpd = serve(args.host, args.port, args.weights, args.top_k,
+                  args.max_batch, args.max_wait_ms)
+    print(f"[serve] listening on {args.host}:{args.port} "
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

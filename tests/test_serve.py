@@ -1,0 +1,107 @@
+"""End-to-end test of the batching inference server (apps/serve.py):
+real HTTP round-trips against an in-process server, results compared to
+the direct Python API, and concurrent same-shape requests verified to be
+served in one batched device call."""
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from apps.serve import serve
+    httpd = serve(host="127.0.0.1", port=0, weights=None, top_k=64,
+                  max_batch=8, max_wait_ms=50.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd
+    httpd.service.stop()
+    httpd.shutdown()
+
+
+def _post(port, path, body):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                 data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.read()
+
+
+def _npz(**arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def test_detect_matches_direct_api(server):
+    port = server.server_address[1]
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+
+    raw = _post(port, "/detect?threshold=0.012", _npz(image=img))
+    out = np.load(io.BytesIO(raw))
+    assert set(out.files) >= {"keypoints", "scores", "descriptors"}
+    assert out["keypoints"].shape[1] == 2
+
+    direct = server.service.xfeat.detectAndCompute(
+        img, detection_threshold=0.012)[0]
+    np.testing.assert_allclose(out["keypoints"], direct["keypoints"])
+    np.testing.assert_allclose(out["scores"], direct["scores"], rtol=1e-6)
+
+
+def test_concurrent_requests_batched(server):
+    port = server.server_address[1]
+    rng = np.random.default_rng(1)
+    imgs = [(rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+            for _ in range(4)]
+    results = [None] * 4
+
+    def call(i):
+        raw = _post(port, "/detect?threshold=0.012", _npz(image=imgs[i]))
+        results[i] = np.load(io.BytesIO(raw))
+
+    served0 = server.service.served
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert server.service.served == served0 + 4
+    for i in range(4):
+        direct = server.service.xfeat.detectAndCompute(
+            imgs[i], detection_threshold=0.012)[0]
+        np.testing.assert_allclose(results[i]["keypoints"],
+                                   direct["keypoints"])
+
+
+def test_match_endpoint_and_health(server):
+    port = server.server_address[1]
+    rng = np.random.default_rng(2)
+    im0 = (rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+    im1 = np.roll(im0, 5, axis=1)
+    raw = _post(port, "/match?top_k=64", _npz(image0=im0, image1=im1))
+    out = np.load(io.BytesIO(raw))
+    assert out["mkpts0"].shape == out["mkpts1"].shape
+    assert out["mkpts0"].shape[1] == 2
+
+    import json
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["ok"] and health["served"] >= 5
+
+
+def test_bad_request(server):
+    port = server.server_address[1]
+    import urllib.error
+    try:
+        _post(port, "/detect", b"not an image")
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
