@@ -51,6 +51,32 @@ def test_xfeat_loads_train_state_npz(tmp_path):
     np.testing.assert_allclose(out1["keypoints"], out2["keypoints"])
 
 
+def test_parse_input_dtype_scaling():
+    """Reference parse_input divides every numpy input by 255
+    (xfeat.py:400-401); ours mirrors that for all integer dtypes and for
+    0-255-range float numpy arrays, while [0,1] floats pass through."""
+    from accelerated_features_tpu.api import XFeat
+    xf = XFeat(weights=None)
+    img8 = np.arange(64 * 96 * 3, dtype=np.uint8).reshape(64, 96, 3)
+    a = np.asarray(xf.parse_input(img8))
+    assert a.shape == (1, 64, 96, 3) and a.max() <= 1.0
+    # uint16 / int32 pixel data scale like uint8 (0-255 convention)
+    np.testing.assert_allclose(
+        np.asarray(xf.parse_input(img8.astype(np.uint16))), a)
+    np.testing.assert_allclose(
+        np.asarray(xf.parse_input(img8.astype(np.int32))), a)
+    # float 0-255 numpy (cv2 image cast) scales too
+    np.testing.assert_allclose(
+        np.asarray(xf.parse_input(img8.astype(np.float64))), a, atol=1e-6)
+    # float already in [0,1] passes through unscaled
+    np.testing.assert_allclose(
+        np.asarray(xf.parse_input(a[0])), a, atol=1e-7)
+    # gray (H, W) and gray batch (B, H, W) disambiguation
+    assert xf.parse_input(img8[..., 0]).shape == (1, 64, 96, 1)
+    assert xf.parse_input(np.zeros((5, 64, 96), np.uint8)).shape \
+        == (5, 64, 96, 1)
+
+
 def test_restore_checkpoint_npz_key_pairing(tmp_path):
     """npz restore must pair leaves BY KEY PATH, not by positional zip of
     two differently-ordered flattenings (jax.tree.flatten sorts dict keys;
