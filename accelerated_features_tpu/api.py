@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 from .models.params import (fold_batchnorm, import_torch_state_dict,
                             init_xfeat_params)
 from .ops.extraction import detect_and_compute, detect_and_compute_dense
-from .ops.matching import batch_mnn_match, batch_mnn_match_dense, mnn_match
+from .ops.matching import batch_mnn_match_dense, mnn_match
 from .ops.refine import refine_matches
 
 ArrayLike = Union[np.ndarray, jax.Array]

@@ -30,7 +30,6 @@ Design differences from the reference (TPU-first, not a port):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

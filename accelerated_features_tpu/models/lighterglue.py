@@ -44,7 +44,7 @@ lighterglue.py:40-48). Fresh init available for training.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

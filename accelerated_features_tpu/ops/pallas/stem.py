@@ -57,7 +57,7 @@ measured faster (see STATUS.md next-round target 1).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ are small; the landmark-scale work lives in BA).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

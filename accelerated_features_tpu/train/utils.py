@@ -11,7 +11,6 @@ fixed-shape label maps consumed by train.losses.distill_loss.
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Dict, List, Optional
 
 import numpy as np

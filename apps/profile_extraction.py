@@ -9,7 +9,6 @@ Usage: python apps/profile_extraction.py [--res 640x480] [--batch 64]
 import argparse
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

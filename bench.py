@@ -19,7 +19,6 @@ number is reported alongside as "dispatch_loop_fps".
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
