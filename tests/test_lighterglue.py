@@ -191,6 +191,53 @@ def test_match_wrapper(setup):
     assert len(np.unique(idx[:, 1])) == len(idx)
 
 
+def test_lg_batch_gt_from_warp(monkeypatch):
+    """build_lg_batch derives correct GT assignments from the analytic
+    warp: with a stubbed extractor that returns exact correspondences
+    (kpts0 = view2_to_view1(kpts1)), every in-budget pair must be matched
+    identity-wise and dustbin sets empty for matched points."""
+    from accelerated_features_tpu.train import lighterglue_run as LR
+    from accelerated_features_tpu.train.augmentation import (AugConfig,
+                                                             make_pair,
+                                                             view2_to_view1)
+    import accelerated_features_tpu.ops.extraction as EX
+
+    cfg = AugConfig(warp_resolution=(160, 128), out_resolution=(160, 128),
+                    photometric=False)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 128, 160, 3)), jnp.float32)
+    pair = make_pair(jax.random.key(1), imgs, cfg, 0.05, tps_prob=0.0)
+    K = 64
+    k1 = jnp.asarray(rng.uniform([20, 20], [140, 108], (1, K, 2)),
+                     jnp.float32)
+    ctrl, dst, wgt, aff = pair["tps2"]
+    k0 = view2_to_view1(k1[0], pair["H1"][0], pair["H2"][0], cfg,
+                        (ctrl[0], dst[0], wgt[0], aff[0]))[None]
+
+    calls = []
+
+    def stub(params, g, top_k, detection_threshold):
+        kk = k0 if not calls else k1      # first call = view1
+        calls.append(1)
+        return {"keypoints": kk, "descriptors": jnp.zeros((1, K, 64)),
+                "valid": jnp.ones((1, K), bool),
+                "scores": jnp.ones((1, K))}
+
+    monkeypatch.setattr(EX, "detect_and_compute", stub)
+    b = LR.build_lg_batch({}, pair, cfg, top_k=K, detection_threshold=0.05)
+    gi = np.asarray(b["gt_idx0"][0])
+    gj = np.asarray(b["gt_idx1"][0])
+    gv = np.asarray(b["gt_valid"][0])
+    # mapped points within bounds (margin > match_px) must all match i==j
+    inb = np.asarray((k0[0, :, 0] >= 4) & (k0[0, :, 0] < 156) &
+                     (k0[0, :, 1] >= 4) & (k0[0, :, 1] < 124))
+    assert gv.sum() >= inb.sum()
+    assert (gi[gv] == gj[gv]).all()
+    # matched keypoints are not dustbin-supervised
+    um0 = np.asarray(b["unmatched0"][0])
+    assert not um0[gi[gv]].any()
+
+
 def test_lighterglue_loss_trains():
     """A few Adam steps on a toy matching problem reduce the loss and raise
     match accuracy (the matcher is trainable end-to-end)."""
