@@ -71,6 +71,14 @@ def main():
                     help="default: 0.012 for random init, 0.05 trained")
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--matcher", type=str, default="mnn",
+                    choices=["mnn", "star", "lighterglue"],
+                    help="mnn: match_xfeat; star: semi-dense "
+                         "match_xfeat_star; lighterglue: attention "
+                         "matcher (needs --lg_weights)")
+    ap.add_argument("--lg_weights", type=str, default=None,
+                    help="LighterGlue checkpoint (.npz/.pt or a "
+                         "train/lighterglue_run checkpoint dir)")
     args = ap.parse_args()
 
     from accelerated_features_tpu import XFeat
@@ -85,6 +93,26 @@ def main():
     if thr is None:
         thr = 0.05 if args.ckpt else 0.012
     xf = XFeat(weights=params, top_k=args.top_k, detection_threshold=thr)
+
+    if args.matcher == "lighterglue":
+        lg_w = args.lg_weights
+        if lg_w and os.path.isdir(lg_w):
+            from accelerated_features_tpu.utils.checkpoint import (
+                latest_checkpoint)
+            lg_w = latest_checkpoint(lg_w) or lg_w
+        xf.set_lighterglue(weights=lg_w)
+
+    def run_matcher(im0, im1):
+        if args.matcher == "mnn":
+            return xf.match_xfeat(im0, im1)
+        if args.matcher == "star":
+            return xf.match_xfeat_star(im0, im1)
+        d0 = xf.detectAndCompute(im0)[0]
+        d0["image_size"] = im0.shape[1::-1]
+        d1 = xf.detectAndCompute(im1)[0]
+        d1["image_size"] = im1.shape[1::-1]
+        mk0, mk1, _ = xf.match_lighterglue(d0, d1)
+        return mk0, mk1
 
     import glob
     paths = sorted(glob.glob(os.path.join(args.images, "*.png")) +
@@ -105,7 +133,7 @@ def main():
         h, w = im0.shape[:2]
         H_gt = gt_homography(rng, w, h)
         im1 = cv2.warpPerspective(im0, H_gt, (w, h))
-        mk0, mk1 = xf.match_xfeat(im0, im1)
+        mk0, mk1 = run_matcher(im0, im1)
         nm.append(len(mk0))
         if len(mk0) >= 4:
             ph = np.concatenate([mk0, np.ones((len(mk0), 1))], 1) @ H_gt.T
@@ -129,6 +157,7 @@ def main():
 
     out = {
         "ckpt": args.ckpt or "random-init",
+        "matcher": args.matcher,
         "pairs": args.pairs,
         "mean_matches": float(np.mean(nm)),
         "precision@3px": float(np.mean(prec)),
