@@ -96,6 +96,32 @@ def test_match_endpoint_and_health(server):
     assert health["ok"] and health["served"] >= 5
 
 
+def test_mixed_shapes_bucketed_correctly(server):
+    """Concurrent requests with DIFFERENT image shapes must each get their
+    own batch bucket and still return correct per-image results."""
+    port = server.server_address[1]
+    rng = np.random.default_rng(3)
+    shapes = [(64, 96, 3), (96, 64, 3), (64, 96, 3)]
+    imgs = [(rng.uniform(0, 255, s)).astype(np.uint8) for s in shapes]
+    results = [None] * len(imgs)
+
+    def call(i):
+        raw = _post(port, "/detect?threshold=0.012", _npz(image=imgs[i]))
+        results[i] = np.load(io.BytesIO(raw))
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(len(imgs)):
+        direct = server.service.xfeat.detectAndCompute(
+            imgs[i], detection_threshold=0.012)[0]
+        np.testing.assert_allclose(results[i]["keypoints"],
+                                   direct["keypoints"])
+
+
 def test_bad_request(server):
     port = server.server_address[1]
     import urllib.error
