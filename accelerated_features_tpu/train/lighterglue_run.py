@@ -38,7 +38,8 @@ def build_lg_batch(xfeat_params: Dict[str, Any], pair: Dict[str, jax.Array],
                    cfg, top_k: int = 512,
                    detection_threshold: float = 0.05,
                    match_px: float = 3.0, unmatch_px: float = 5.0,
-                   n_gt: Optional[int] = None) -> Dict[str, jax.Array]:
+                   n_gt: Optional[int] = None,
+                   key: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
     """Extract keypoints on both views of an augmented pair and derive the
     ground-truth assignment from the analytic warp. Returns the batch dict
     `train.lighterglue_loss.lighterglue_loss` consumes."""
@@ -73,9 +74,17 @@ def build_lg_batch(xfeat_params: Dict[str, Any], pair: Dict[str, jax.Array],
     mutual = jnp.take_along_axis(i_star, j_star, axis=1) == ar
     matched = mutual & (dmin0 < match_px ** 2) & v0
 
-    # pack matched rows first (stable) and truncate to the GT budget
+    # pack matched rows first and truncate to the GT budget; with a key,
+    # over-budget matches are randomly subsampled (raster-order truncation
+    # would systematically drop late-raster keypoints — the same bias
+    # train/warp.corr_to_fixed fixes)
     S = n_gt or K
-    order = jnp.argsort(~matched, axis=1, stable=True)
+    if key is not None:
+        prio = jnp.where(matched, jax.random.uniform(key, matched.shape),
+                         2.0)
+        order = jnp.argsort(prio, axis=1)
+    else:
+        order = jnp.argsort(~matched, axis=1, stable=True)
     gt_idx0 = order[:, :S].astype(jnp.int32)
     gt_idx1 = jnp.take_along_axis(j_star, order, axis=1)[:, :S] \
         .astype(jnp.int32)
@@ -146,8 +155,10 @@ def main(argv=None):
 
     @jax.jit
     def make_batch(key, images):
-        pair = make_pair(key, images, cfg, args.difficulty, tps_prob=0.7)
-        return build_lg_batch(xfeat_params, pair, cfg, args.top_k, thr)
+        k1, k2 = jax.random.split(key)
+        pair = make_pair(k1, images, cfg, args.difficulty, tps_prob=0.7)
+        return build_lg_batch(xfeat_params, pair, cfg, args.top_k, thr,
+                              key=k2)
 
     @jax.jit
     def step_fn(state, batch):
@@ -177,8 +188,12 @@ def main(argv=None):
             print(f"step {i + 1} loss {float(loss):.4f} "
                   f"match_acc {m.get('match_acc', 0):.3f} "
                   f"gt/pair {n_gt:.0f} ({rate:.2f} it/s)", flush=True)
-    save_checkpoint(args.ckpt_save_path, jax.device_get(state),
-                    args.n_steps)
+    final_step = int(state["step"])
+    if final_step > start and final_step % args.save_ckpt_every != 0:
+        # label with the ACTUAL step (n_steps would mislabel a resumed or
+        # already-finished run); skip if the loop just saved this step
+        save_checkpoint(args.ckpt_save_path, jax.device_get(state),
+                        final_step)
     print("done")
 
 

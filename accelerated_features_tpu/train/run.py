@@ -257,12 +257,18 @@ def main():
             self._stop = False
 
             def worker():
+                import queue as _q2
                 while not self._stop:
                     try:
                         item = (fn(), None)
                     except BaseException as e:   # surface in the main loop
                         item = (None, e)
-                    self._queue.put(item)
+                    while not self._stop:        # interruptible put
+                        try:
+                            self._queue.put(item, timeout=0.5)
+                            break
+                        except _q2.Full:
+                            continue
                     if item[1] is not None:
                         return
             self._thread = _t.Thread(target=worker, daemon=True)
@@ -300,6 +306,16 @@ def main():
     signal.signal(signal.SIGINT, _request_stop)
 
     example = prepare(get_batch())
+    try:
+        _train_loop(args, cfg, mesh, state, example, get_batch, prepare,
+                    start_step, n_steps, stop_requested)
+    finally:
+        if isinstance(get_batch, _Prefetcher):
+            get_batch.stop()     # don't leak the producer thread to callers
+
+
+def _train_loop(args, cfg, mesh, state, example, get_batch, prepare,
+                start_step, n_steps, stop_requested):
     with mesh:
         step_fn, state_sh, shard_batch = make_sharded_train_step(
             mesh, state, example, cfg)

@@ -95,12 +95,20 @@ def main():
     xf = XFeat(weights=params, top_k=args.top_k, detection_threshold=thr)
 
     if args.matcher == "lighterglue":
-        lg_w = args.lg_weights
-        if lg_w and os.path.isdir(lg_w):
+        if not args.lg_weights:
+            raise SystemExit("--matcher lighterglue needs --lg_weights "
+                             "(pass 'random' to smoke-test random weights)")
+        if args.lg_weights == "random":
+            xf.set_lighterglue()
+        elif os.path.isdir(args.lg_weights) or \
+                not args.lg_weights.endswith((".npz", ".pt", ".pth")):
+            # training checkpoint (orbax dir or npz): extract params
             from accelerated_features_tpu.utils.checkpoint import (
-                latest_checkpoint)
-            lg_w = latest_checkpoint(lg_w) or lg_w
-        xf.set_lighterglue(weights=lg_w)
+                load_params_from_checkpoint)
+            xf.set_lighterglue(
+                weights=load_params_from_checkpoint(args.lg_weights))
+        else:
+            xf.set_lighterglue(weights=args.lg_weights)
 
     def run_matcher(im0, im1):
         if args.matcher == "mnn":

