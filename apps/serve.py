@@ -18,7 +18,8 @@ fixed-shape `detectAndCompute` call so the chip always sees batched work
 Endpoints:
   POST /detect      body = npz with array 'image' (H,W[,C]) uint8/float,
                     or a PNG/JPG byte stream; query ?top_k=&threshold=
-  POST /match       body = npz with 'image0', 'image1' -> mkpts0, mkpts1
+  POST /match       body = npz with 'image0', 'image1' -> mkpts0, mkpts1;
+                    ?mode=mnn (default) | star | lighterglue
   GET  /healthz     liveness + device + served-request counter
 
 Usage:  python apps/serve.py --port 8500 --weights weights/xfeat.npz
@@ -146,9 +147,21 @@ class InferenceService:
                         r.event.set()
                 else:                  # match: one pair per device call,
                     r = group[0]       # still on the owner thread
-                    mk0, mk1 = self.xfeat.match_xfeat(
-                        r.images[0], r.images[1],
-                        top_k=r.top_k or self.xfeat.top_k)
+                    tk = r.top_k or self.xfeat.top_k
+                    if r.kind == "match_star":
+                        mk0, mk1 = self.xfeat.match_xfeat_star(
+                            r.images[0], r.images[1], top_k=tk)
+                    elif r.kind == "match_lg":
+                        d0 = self.xfeat.detectAndCompute(
+                            r.images[0], top_k=tk)[0]
+                        d1 = self.xfeat.detectAndCompute(
+                            r.images[1], top_k=tk)[0]
+                        d0["image_size"] = r.images[0].shape[1::-1]
+                        d1["image_size"] = r.images[1].shape[1::-1]
+                        mk0, mk1, _ = self.xfeat.match_lighterglue(d0, d1)
+                    else:
+                        mk0, mk1 = self.xfeat.match_xfeat(
+                            r.images[0], r.images[1], top_k=tk)
                     r.result = (np.asarray(mk0), np.asarray(mk1))
                     r.event.set()
                 self.served += len(group)
@@ -212,7 +225,15 @@ def make_handler(service: InferenceService):
                 elif u.path == "/match":
                     data = np.load(io.BytesIO(body), allow_pickle=False)
                     imgs = (data["image0"], data["image1"])
-                    kind = "match"
+                    # mode: mnn (default, sparse MNN) | star (semi-dense
+                    # coarse-to-fine) | lighterglue (attention matcher,
+                    # server must be started with --lg_weights)
+                    kind = "match_" + q.get("mode", ["mnn"])[0]
+                    if kind not in ("match_mnn", "match_star", "match_lg",
+                                    "match_lighterglue"):
+                        raise ValueError(f"unknown match mode {kind[6:]}")
+                    if kind == "match_lighterglue":
+                        kind = "match_lg"
                 else:
                     self._send(404, b"not found")
                     return
@@ -238,7 +259,8 @@ def make_handler(service: InferenceService):
 
 
 def serve(host="127.0.0.1", port=8500, weights=None, top_k=4096,
-          max_batch=16, max_wait_ms=5.0, compute_dtype=None):
+          max_batch=16, max_wait_ms=5.0, compute_dtype=None,
+          lg_weights=None):
     from accelerated_features_tpu import XFeat
     import jax
     if compute_dtype is None:
@@ -246,6 +268,18 @@ def serve(host="127.0.0.1", port=8500, weights=None, top_k=4096,
                          else "float32")
     xfeat = XFeat(weights=weights, top_k=top_k,
                   compute_dtype=compute_dtype)
+    if lg_weights is not None:
+        import os as _os
+        if lg_weights == "random":
+            xfeat.set_lighterglue()
+        elif _os.path.isdir(lg_weights) or \
+                not lg_weights.endswith((".npz", ".pt", ".pth")):
+            from accelerated_features_tpu.utils.checkpoint import (
+                load_params_from_checkpoint)
+            xfeat.set_lighterglue(
+                weights=load_params_from_checkpoint(lg_weights))
+        else:
+            xfeat.set_lighterglue(weights=lg_weights)
     service = InferenceService(xfeat, max_batch, max_wait_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     httpd.service = service            # for tests / shutdown hooks
@@ -260,9 +294,13 @@ def main():
     ap.add_argument("--top_k", type=int, default=4096)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--lg_weights", type=str, default=None,
+                    help="LighterGlue weights for /match?mode=lighterglue "
+                         "('random' = smoke)")
     args = ap.parse_args()
     httpd = serve(args.host, args.port, args.weights, args.top_k,
-                  args.max_batch, args.max_wait_ms)
+                  args.max_batch, args.max_wait_ms,
+                  lg_weights=args.lg_weights)
     print(f"[serve] listening on {args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
     httpd.serve_forever()

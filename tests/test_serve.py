@@ -96,6 +96,26 @@ def test_match_endpoint_and_health(server):
     assert health["ok"] and health["served"] >= 1
 
 
+def test_match_modes(server):
+    """/match?mode=star runs the semi-dense pipeline through the owner
+    thread; an unknown mode is a 400."""
+    import urllib.error
+    port = server.server_address[1]
+    rng = np.random.default_rng(5)
+    im0 = (rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+    im1 = np.roll(im0, 3, axis=1)
+    raw = _post(port, "/match?mode=star&top_k=64", _npz(image0=im0,
+                                                        image1=im1))
+    out = np.load(io.BytesIO(raw))
+    assert out["mkpts0"].shape == out["mkpts1"].shape
+    try:
+        _post(port, "/match?mode=bogus", _npz(image0=im0, image1=im1))
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
 def test_mixed_shapes_bucketed_correctly(server):
     """Concurrent requests with DIFFERENT image shapes must each get their
     own batch bucket and still return correct per-image results."""
