@@ -438,7 +438,14 @@ class LighterGlue:
         if weights is None:
             self.params = init_lighterglue_params(jax.random.key(0), conf)
         elif isinstance(weights, str):
-            if weights.endswith(".npz"):
+            import os as _os
+            if _os.path.isdir(weights) or not weights.endswith(
+                    (".npz", ".pt", ".pth")):
+                # training checkpoint directory (orbax or npz) produced by
+                # train/lighterglue_run: extract the params subtree
+                from ..utils.checkpoint import load_params_from_checkpoint
+                self.params = load_params_from_checkpoint(weights)
+            elif weights.endswith(".npz"):
                 from ..api import _unflatten
                 data = np.load(weights, allow_pickle=True)
                 keys = list(data.keys())

@@ -100,14 +100,9 @@ def main():
                              "(pass 'random' to smoke-test random weights)")
         if args.lg_weights == "random":
             xf.set_lighterglue()
-        elif os.path.isdir(args.lg_weights) or \
-                not args.lg_weights.endswith((".npz", ".pt", ".pth")):
-            # training checkpoint (orbax dir or npz): extract params
-            from accelerated_features_tpu.utils.checkpoint import (
-                load_params_from_checkpoint)
-            xf.set_lighterglue(
-                weights=load_params_from_checkpoint(args.lg_weights))
         else:
+            # LighterGlue's loader handles .npz/.pt files AND training
+            # checkpoint dirs (orbax or npz)
             xf.set_lighterglue(weights=args.lg_weights)
 
     def run_matcher(im0, im1):

@@ -269,16 +269,11 @@ def serve(host="127.0.0.1", port=8500, weights=None, top_k=4096,
     xfeat = XFeat(weights=weights, top_k=top_k,
                   compute_dtype=compute_dtype)
     if lg_weights is not None:
-        import os as _os
         if lg_weights == "random":
             xfeat.set_lighterglue()
-        elif _os.path.isdir(lg_weights) or \
-                not lg_weights.endswith((".npz", ".pt", ".pth")):
-            from accelerated_features_tpu.utils.checkpoint import (
-                load_params_from_checkpoint)
-            xfeat.set_lighterglue(
-                weights=load_params_from_checkpoint(lg_weights))
         else:
+            # LighterGlue's loader handles .npz/.pt files AND training
+            # checkpoint dirs (orbax or npz)
             xfeat.set_lighterglue(weights=lg_weights)
     service = InferenceService(xfeat, max_batch, max_wait_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))

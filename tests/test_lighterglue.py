@@ -191,6 +191,23 @@ def test_match_wrapper(setup):
     assert len(np.unique(idx[:, 1])) == len(idx)
 
 
+def test_lighterglue_loads_training_checkpoint_dir(tmp_path):
+    """LighterGlue(weights=<ckpt dir>) resolves the latest training
+    checkpoint and extracts the params subtree (train/lighterglue_run
+    output loads directly into the inference engine)."""
+    from accelerated_features_tpu.models.lighterglue import LighterGlue
+    from accelerated_features_tpu.utils.checkpoint import _flatten
+
+    params = init_lighterglue_params(jax.random.key(3))
+    state = {"params": params, "opt_state": (np.int32(0),),
+             "step": np.int64(5)}
+    np.savez(str(tmp_path / "ckpt_00000005.npz"), **dict(_flatten(state)))
+
+    lg = LighterGlue(weights=str(tmp_path))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(lg.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lg_batch_gt_from_warp(monkeypatch):
     """build_lg_batch derives correct GT assignments from the analytic
     warp: with a stubbed extractor that returns exact correspondences
