@@ -122,6 +122,140 @@ def run_benchmark(matcher_fn: MatcherFn, data_root: str,
     return summary
 
 
+def _pose_job(args):
+    pair, mk0, mk1, sc0, sc1, thr, backend = args
+    return compute_pose_error(pair, mk0, mk1, sc0, sc1, thr, backend)
+
+
+def run_benchmark_batched(data_root: str,
+                          json_path: str = DEFAULT_JSON,
+                          top_k: int = 4096,
+                          weights: Optional[str] = None,
+                          batch_size: int = 8,
+                          ransac_thr: float = 2.5,
+                          limit: Optional[int] = None,
+                          progress: bool = True,
+                          pose_backend: str = "posekit",
+                          workers: int = 0,
+                          detection_threshold: float = 0.05,
+                          compute_dtype=None) -> Dict[str, float]:
+    """Batched sparse (MNN) benchmark: the per-pair loop of
+    `run_benchmark` keeps the accelerator at batch size 1; this mode
+    buckets the 1500 eval images by their stored /32-divisible size, runs
+    batched `detect_and_compute` per bucket, matches pairs with a vmapped
+    masked MNN, and (optionally) distributes the host-side RANSAC over a
+    spawn pool — the protocol (resize, rescale, thresholds, metric) is
+    identical to `run_benchmark` by construction. The reference eval runs
+    "~1 minute" single-pair (reference README.md:169, eval loop
+    megadepth1500.py:199-237); batching is where a TPU chip wants to be."""
+    import functools
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from ..api import load_params
+    from ..ops.extraction import detect_and_compute
+    from ..ops.matching import mnn_match
+
+    if compute_dtype is None:
+        compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                         else jnp.float32)
+    params = load_params(weights)
+    pairs = load_pairs(json_path)
+    if limit:
+        pairs = pairs[:limit]
+
+    # -- bucket every image by its eval size ------------------------------
+    buckets: Dict[tuple, list] = {}
+    scales: List[list] = [[(1.0, 1.0), (1.0, 1.0)] for _ in pairs]
+    for i, pair in enumerate(pairs):
+        for side in (0, 1):
+            hw = pair.get(f"size{side}_hw")
+            sc = pair.get(f"scale{side}")
+            if sc is not None:
+                scales[i][side] = tuple(sc)
+            key = tuple(int(x) for x in hw) if hw is not None else None
+            buckets.setdefault(key, []).append((i, side))
+
+    jit_dac = jax.jit(functools.partial(
+        detect_and_compute, top_k=top_k,
+        detection_threshold=detection_threshold,
+        compute_dtype=compute_dtype))
+
+    feats: List[list] = [[None, None] for _ in pairs]
+    total = sum(len(v) for v in buckets.values())
+    done = 0
+    for key, recs in buckets.items():
+        for c0 in range(0, len(recs), batch_size):
+            chunk = recs[c0:c0 + batch_size]
+            imgs = []
+            for i, side in chunk:
+                path = os.path.join(data_root, pair_name(pairs[i], side))
+                im = cv2.imread(path)
+                if im is None:
+                    raise FileNotFoundError(path)
+                if key is not None:
+                    im = cv2.resize(im, (key[1], key[0]))
+                imgs.append(im.astype(np.float32) / 255.0)
+            if key is None and len({im.shape for im in imgs}) > 1:
+                raise ValueError("pairs without size0_hw/size1_hw must "
+                                 "share image sizes to batch")
+            out = jit_dac(params, jnp.asarray(np.stack(imgs)))
+            kpts = np.asarray(out["keypoints"])
+            descs = np.asarray(out["descriptors"])
+            valid = np.asarray(out["valid"])
+            for j, (i, side) in enumerate(chunk):
+                feats[i][side] = (kpts[j], descs[j], valid[j])
+            done += len(chunk)
+            if progress:
+                print(f"\r[MegaDepth-1500 batched] extract {done}/{total}",
+                      end="", flush=True)
+    if progress:
+        print()
+
+    # -- batched masked MNN matching --------------------------------------
+    bmatch = jax.jit(jax.vmap(
+        lambda a, b, va, vb: mnn_match(a, b, va, vb, min_cossim=-1.0)))
+    matches: List[Tuple[np.ndarray, np.ndarray]] = []
+    for c0 in range(0, len(pairs), batch_size):
+        idxs = range(c0, min(c0 + batch_size, len(pairs)))
+        d0 = np.stack([feats[i][0][1] for i in idxs])
+        d1 = np.stack([feats[i][1][1] for i in idxs])
+        v0 = np.stack([feats[i][0][2] for i in idxs])
+        v1 = np.stack([feats[i][1][2] for i in idxs])
+        idx1, mask = map(np.asarray, bmatch(d0, d1, v0, v1))
+        for j, i in enumerate(idxs):
+            sel = mask[j]
+            matches.append((feats[i][0][0][sel],
+                            feats[i][1][0][idx1[j][sel]]))
+
+    # -- pose estimation (host), optionally process-parallel --------------
+    jobs = [(pairs[i], matches[i][0], matches[i][1],
+             scales[i][0], scales[i][1], ransac_thr, pose_backend)
+            for i in range(len(pairs))]
+    if workers > 1 and pose_backend == "posekit":
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=mp.get_context("spawn")) as ex:
+            errors = list(ex.map(_pose_job, jobs, chunksize=8))
+    else:
+        errors = [_pose_job(j) for j in jobs]
+
+    summary = pose_errors_to_summary(errors)
+    summary["mean_matches"] = float(np.mean([e["n_matches"]
+                                             for e in errors]))
+    summary["mean_inliers"] = float(np.mean([e["n_inliers"]
+                                             for e in errors]))
+    return summary
+
+
+def pair_name(pair: dict, side: int) -> str:
+    return pair["pair_names"][side]
+
+
 def run_benchmark_precomputed(matches: List[Tuple[np.ndarray, np.ndarray]],
                               pairs: List[dict],
                               ransac_thr: float = 2.5,
@@ -177,12 +311,29 @@ def main():
                     choices=["posekit", "tpu"],
                     help="posekit: native 5-pt LO-RANSAC (accuracy); "
                          "tpu: batched 8-pt MSAC on-device (throughput)")
+    ap.add_argument("--batched", action="store_true",
+                    help="size-bucketed batched extraction + vmapped MNN "
+                         "(sparse xfeat only; identical protocol, much "
+                         "faster on accelerators)")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="spawn-pool size for host RANSAC in --batched mode")
     args = ap.parse_args()
 
-    fn = make_matcher(args.matcher, args.top_k, args.weights,
-                      lg_weights=args.lg_weights)
-    summary = run_benchmark(fn, args.data_root, args.json, args.ransac_thr,
-                            args.limit, pose_backend=args.pose_backend)
+    if args.batched:
+        if args.matcher != "xfeat":
+            ap.error("--batched supports the sparse 'xfeat' matcher")
+        summary = run_benchmark_batched(
+            args.data_root, args.json, top_k=args.top_k,
+            weights=args.weights, batch_size=args.batch_size,
+            ransac_thr=args.ransac_thr, limit=args.limit,
+            pose_backend=args.pose_backend, workers=args.workers)
+    else:
+        fn = make_matcher(args.matcher, args.top_k, args.weights,
+                          lg_weights=args.lg_weights)
+        summary = run_benchmark(fn, args.data_root, args.json,
+                                args.ransac_thr, args.limit,
+                                pose_backend=args.pose_backend)
     print(json.dumps(summary, indent=2))
 
 

@@ -211,6 +211,49 @@ def test_run_benchmark_with_images(tmp_path):
     assert "auc@5" in summary and "mean_matches" in summary
 
 
+def test_run_benchmark_batched_matches_sequential(tmp_path):
+    """The size-bucketed batched benchmark produces the same match sets
+    (and therefore the same protocol inputs) as the per-pair path; mixed
+    image sizes exercise the bucketing."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(7)
+    root = tmp_path / "imgs"
+    root.mkdir()
+    pairs = []
+    K = [[600.0, 0, 160], [0, 600.0, 120], [0, 0, 1]]
+    sizes = [(224, 320), (192, 256), (224, 320)]  # two buckets
+    for i, hw in enumerate(sizes):
+        im = (np.kron(rng.uniform(0, 255, (30, 40, 3)),
+                      np.ones((8, 8, 1))))[:240, :320].astype(np.uint8)
+        cv2.imwrite(str(root / f"a{i}.png"), im)
+        im2 = np.roll(im, 7, axis=1)
+        cv2.imwrite(str(root / f"b{i}.png"), im2)
+        pairs.append({
+            "K0": K, "K1": K, "T_0to1": np.eye(4).tolist(),
+            "pair_names": [f"a{i}.png", f"b{i}.png"],
+            "size0_hw": list(hw), "size1_hw": list(hw),
+            "scale0": [1.0, 1.0], "scale1": [1.0, 1.0],
+        })
+    import json as _json
+    jpath = tmp_path / "pairs.json"
+    jpath.write_text(_json.dumps(pairs))
+
+    from accelerated_features_tpu.eval.megadepth1500 import (
+        run_benchmark, run_benchmark_batched)
+    from accelerated_features_tpu.api import XFeat
+
+    summary_b = run_benchmark_batched(
+        str(root), str(jpath), top_k=128, batch_size=2, progress=False,
+        detection_threshold=0.012)
+    assert summary_b["n_pairs"] == 3
+
+    xf = XFeat(weights=None, top_k=128, detection_threshold=0.012)
+    summary_s = run_benchmark(lambda a, b: xf.match_xfeat(a, b),
+                              str(root), str(jpath), progress=False)
+    # identical extraction + matching semantics -> identical mean matches
+    assert summary_b["mean_matches"] == summary_s["mean_matches"]
+
+
 def test_torch_pt_file_roundtrip(tmp_path):
     """XFeat(weights='<file>.pt') loads a saved torch state_dict."""
     torch = pytest.importorskip("torch")
