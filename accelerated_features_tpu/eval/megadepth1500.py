@@ -148,87 +148,29 @@ def run_benchmark_batched(data_root: str,
     identical to `run_benchmark` by construction. The reference eval runs
     "~1 minute" single-pair (reference README.md:169, eval loop
     megadepth1500.py:199-237); batching is where a TPU chip wants to be."""
-    import functools
-
-    import cv2
-    import jax
-    import jax.numpy as jnp
-
     from ..api import load_params
-    from ..ops.extraction import detect_and_compute
-    from ..ops.matching import mnn_match
 
-    if compute_dtype is None:
-        compute_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                         else jnp.float32)
     params = load_params(weights)
     pairs = load_pairs(json_path)
     if limit:
         pairs = pairs[:limit]
 
-    # -- bucket every image by its eval size ------------------------------
-    buckets: Dict[tuple, list] = {}
     scales: List[list] = [[(1.0, 1.0), (1.0, 1.0)] for _ in pairs]
+    records = []
     for i, pair in enumerate(pairs):
         for side in (0, 1):
-            hw = pair.get(f"size{side}_hw")
             sc = pair.get(f"scale{side}")
             if sc is not None:
                 scales[i][side] = tuple(sc)
-            key = tuple(int(x) for x in hw) if hw is not None else None
-            buckets.setdefault(key, []).append((i, side))
+            records.append(((i, side), pair["pair_names"][side],
+                            pair.get(f"size{side}_hw")))
 
-    jit_dac = jax.jit(functools.partial(
-        detect_and_compute, top_k=top_k,
-        detection_threshold=detection_threshold,
-        compute_dtype=compute_dtype))
-
-    feats: List[list] = [[None, None] for _ in pairs]
-    total = sum(len(v) for v in buckets.values())
-    done = 0
-    for key, recs in buckets.items():
-        for c0 in range(0, len(recs), batch_size):
-            chunk = recs[c0:c0 + batch_size]
-            imgs = []
-            for i, side in chunk:
-                path = os.path.join(data_root, pair_name(pairs[i], side))
-                im = cv2.imread(path)
-                if im is None:
-                    raise FileNotFoundError(path)
-                if key is not None:
-                    im = cv2.resize(im, (key[1], key[0]))
-                imgs.append(im.astype(np.float32) / 255.0)
-            if key is None and len({im.shape for im in imgs}) > 1:
-                raise ValueError("pairs without size0_hw/size1_hw must "
-                                 "share image sizes to batch")
-            out = jit_dac(params, jnp.asarray(np.stack(imgs)))
-            kpts = np.asarray(out["keypoints"])
-            descs = np.asarray(out["descriptors"])
-            valid = np.asarray(out["valid"])
-            for j, (i, side) in enumerate(chunk):
-                feats[i][side] = (kpts[j], descs[j], valid[j])
-            done += len(chunk)
-            if progress:
-                print(f"\r[MegaDepth-1500 batched] extract {done}/{total}",
-                      end="", flush=True)
-    if progress:
-        print()
-
-    # -- batched masked MNN matching --------------------------------------
-    bmatch = jax.jit(jax.vmap(
-        lambda a, b, va, vb: mnn_match(a, b, va, vb, min_cossim=-1.0)))
-    matches: List[Tuple[np.ndarray, np.ndarray]] = []
-    for c0 in range(0, len(pairs), batch_size):
-        idxs = range(c0, min(c0 + batch_size, len(pairs)))
-        d0 = np.stack([feats[i][0][1] for i in idxs])
-        d1 = np.stack([feats[i][1][1] for i in idxs])
-        v0 = np.stack([feats[i][0][2] for i in idxs])
-        v1 = np.stack([feats[i][1][2] for i in idxs])
-        idx1, mask = map(np.asarray, bmatch(d0, d1, v0, v1))
-        for j, i in enumerate(idxs):
-            sel = mask[j]
-            matches.append((feats[i][0][0][sel],
-                            feats[i][1][0][idx1[j][sel]]))
+    from .batched import extract_features_batched, match_pairs_batched
+    feats = extract_features_batched(
+        params, records, data_root, top_k, detection_threshold,
+        compute_dtype, batch_size, progress, tag="MegaDepth-1500 batched")
+    matches = match_pairs_batched(
+        feats, [((i, 0), (i, 1)) for i in range(len(pairs))], batch_size)
 
     # -- pose estimation (host), optionally process-parallel --------------
     jobs = [(pairs[i], matches[i][0], matches[i][1],
@@ -250,10 +192,6 @@ def run_benchmark_batched(data_root: str,
     summary["mean_inliers"] = float(np.mean([e["n_inliers"]
                                              for e in errors]))
     return summary
-
-
-def pair_name(pair: dict, side: int) -> str:
-    return pair["pair_names"][side]
 
 
 def run_benchmark_precomputed(matches: List[Tuple[np.ndarray, np.ndarray]],

@@ -100,6 +100,56 @@ def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
     return out
 
 
+def extract_matches_batched(data_root: str, pairs: List[dict],
+                            top_k: int = 4096,
+                            weights: Optional[str] = None,
+                            batch_size: int = 16,
+                            detection_threshold: float = 0.05,
+                            cache_path: Optional[str] = None,
+                            cache_meta: Optional[str] = None,
+                            progress: bool = True
+                            ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Batched sparse matching over the pair list: every ScanNet eval
+    image is 640x480, so extraction runs as full fixed-shape batches and
+    matching as a vmapped masked MNN (eval/batched.py) — same results as
+    the per-pair `extract_matches` with XFeat.match_xfeat, at batch
+    operating points. Honors the same cache file format/meta."""
+    if cache_path and os.path.exists(cache_path):
+        data = np.load(cache_path, allow_pickle=True)
+        stored_meta = str(data["meta"]) if "meta" in data else None
+        if ((cache_meta is None or stored_meta == cache_meta)
+                and len(data["matches"]) == len(pairs)):
+            return [tuple(m) for m in data["matches"]]
+
+    from ..api import load_params
+    from .batched import extract_features_batched, match_pairs_batched
+
+    params = load_params(weights)
+    images = {}
+    for i, pair in enumerate(pairs):
+        images[(i, 0)] = pair["im0"]
+        images[(i, 1)] = pair["im1"]
+    # dedup identical image paths across pairs (ScanNet reuses frames)
+    by_path = {}
+    for key, path in images.items():
+        by_path.setdefault(path, []).append(key)
+    records = [(path, path, None) for path in by_path]
+    feats_by_path = extract_features_batched(
+        params, records, data_root, top_k, detection_threshold,
+        None, batch_size, progress, tag="ScanNet-1500 batched")
+    feats = {key: feats_by_path[path]
+             for path, keys in by_path.items() for key in keys}
+    out = match_pairs_batched(
+        feats, [((i, 0), (i, 1)) for i in range(len(pairs))], batch_size)
+    if cache_path:
+        arr = np.empty(len(out), dtype=object)
+        for i, m in enumerate(out):
+            arr[i] = m
+        np.savez_compressed(cache_path, matches=arr,
+                            meta=np.str_(cache_meta or ""))
+    return out
+
+
 def _pose_error_one(args):
     mk0, mk1, K, T_0to1, thr, backend = args
     err = {"R_err": 180.0, "t_err": 180.0}
@@ -188,10 +238,19 @@ def run_benchmark(matcher_fn, data_root: str, npz_path: str,
                   cache_dir: Optional[str] = None,
                   summary_path: Optional[str] = None,
                   pose_backend: str = "posekit",
-                  cache_meta: Optional[str] = None) -> Dict[str, float]:
+                  cache_meta: Optional[str] = None,
+                  batched: Optional[dict] = None) -> Dict[str, float]:
+    """`batched`: dict of extract_matches_batched kwargs (top_k, weights,
+    batch_size, detection_threshold) to use size-batched extraction +
+    vmapped MNN instead of the per-pair matcher_fn (sparse mode only)."""
     pairs = load_pair_list(npz_path)
-    matches = extract_matches(matcher_fn, data_root, pairs, cache_path,
-                              cache_meta=cache_meta)
+    if batched is not None:
+        matches = extract_matches_batched(data_root, pairs,
+                                          cache_path=cache_path,
+                                          cache_meta=cache_meta, **batched)
+    else:
+        matches = extract_matches(matcher_fn, data_root, pairs, cache_path,
+                                  cache_meta=cache_meta)
     gt = []
     for pair in pairs:
         K = np.loadtxt(os.path.join(data_root, pair["intrinsic"]))[:3, :3]
@@ -268,7 +327,14 @@ def main():
                     choices=["posekit", "tpu"],
                     help="posekit: native 5-pt LO-RANSAC (accuracy); "
                          "tpu: batched 8-pt MSAC on-device (single-process)")
+    ap.add_argument("--batched", action="store_true",
+                    help="size-batched extraction + vmapped MNN (sparse "
+                         "'xfeat' matcher only; identical results, "
+                         "batch-sized device work)")
+    ap.add_argument("--batch_size", type=int, default=16)
     args = ap.parse_args()
+    if args.batched and args.matcher != "xfeat":
+        ap.error("--batched supports the sparse 'xfeat' matcher")
     if args.pose_backend == "tpu":
         args.workers = 1
 
@@ -278,17 +344,23 @@ def main():
     if not args.data_root or not args.npz:
         ap.error("--data_root and --npz are required unless --show is given")
 
-    from .megadepth1500 import make_matcher
-    fn = make_matcher(args.matcher, args.top_k, args.weights,
-                      lg_weights=args.lg_weights)
+    fn = None
+    if not args.batched:
+        from .megadepth1500 import make_matcher
+        fn = make_matcher(args.matcher, args.top_k, args.weights,
+                          lg_weights=args.lg_weights)
     meta = (f"matcher={args.matcher} top_k={args.top_k} "
             f"weights={args.weights} lg_weights={args.lg_weights} "
             f"npz={os.path.basename(args.npz)}")
+    batched = ({"top_k": args.top_k, "weights": args.weights,
+                "batch_size": args.batch_size}
+               if args.batched else None)
     print(json.dumps(run_benchmark(fn, args.data_root, args.npz, args.cache,
                                    args.workers, cache_dir=args.cache_dir,
                                    summary_path=args.out,
                                    pose_backend=args.pose_backend,
-                                   cache_meta=meta), indent=2))
+                                   cache_meta=meta, batched=batched),
+                     indent=2))
 
 
 if __name__ == "__main__":

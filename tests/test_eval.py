@@ -152,6 +152,42 @@ def test_scannet_plumbing(tmp_path):
     assert best["best_threshold"] in (1.0, 2.0)
 
 
+def test_scannet_batched_matches_per_pair(tmp_path):
+    """extract_matches_batched == extract_matches(XFeat.match_xfeat) on a
+    tiny on-disk scene (same images reused across pairs to exercise the
+    dedup path)."""
+    cv2 = pytest.importorskip("cv2")
+    from accelerated_features_tpu.api import XFeat
+    from accelerated_features_tpu.eval.scannet1500 import (
+        extract_matches, extract_matches_batched)
+
+    rng = np.random.default_rng(9)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    base = (np.kron(rng.uniform(0, 255, (16, 20, 3)),
+                    np.ones((8, 8, 1)))).astype(np.uint8)   # 128 x 160
+    cv2.imwrite(str(scene / "0.jpg"), base)
+    cv2.imwrite(str(scene / "1.jpg"), np.roll(base, 9, axis=1))
+    cv2.imwrite(str(scene / "2.jpg"), np.roll(base, 17, axis=0))
+    pairs = [{"im0": "scene0000_00/color/0.jpg",
+              "im1": "scene0000_00/color/1.jpg"},
+             {"im0": "scene0000_00/color/0.jpg",
+              "im1": "scene0000_00/color/2.jpg"}]
+
+    mb = extract_matches_batched(str(tmp_path), pairs, top_k=128,
+                                 detection_threshold=0.012,
+                                 batch_size=2, progress=False)
+    xf = XFeat(weights=None, top_k=128, detection_threshold=0.012)
+    ms = extract_matches(lambda a, b: xf.match_xfeat(a, b),
+                         str(tmp_path), pairs, progress=False)
+    for (b0, b1), (s0, s1) in zip(mb, ms):
+        assert len(b0) == len(s0)
+        np.testing.assert_allclose(np.sort(b0, axis=0),
+                                   np.sort(s0, axis=0))
+        np.testing.assert_allclose(np.sort(b1, axis=0),
+                                   np.sort(s1, axis=0))
+
+
 def test_megadepth_json_schema():
     """The harness consumes the real reference asset schema."""
     import json
