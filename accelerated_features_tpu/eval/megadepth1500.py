@@ -155,22 +155,35 @@ def run_benchmark_batched(data_root: str,
     if limit:
         pairs = pairs[:limit]
 
+    if workers > 1 and pose_backend != "posekit":
+        raise ValueError("pose_backend='tpu' is single-process "
+                         "(one device); use workers<=1")
+
+    # dedup images by (path, eval size) — MegaDepth pairs reuse images
+    # across many pairs, so extracting per (pair, side) would repeat the
+    # same device forward several-fold
     scales: List[list] = [[(1.0, 1.0), (1.0, 1.0)] for _ in pairs]
-    records = []
+    uniq: Dict[tuple, tuple] = {}
+    side_key: List[list] = [[None, None] for _ in pairs]
     for i, pair in enumerate(pairs):
         for side in (0, 1):
             sc = pair.get(f"scale{side}")
             if sc is not None:
                 scales[i][side] = tuple(sc)
-            records.append(((i, side), pair["pair_names"][side],
-                            pair.get(f"size{side}_hw")))
+            hw = pair.get(f"size{side}_hw")
+            key = (pair["pair_names"][side],
+                   tuple(int(x) for x in hw) if hw is not None else None)
+            uniq[key] = (key, key[0], hw)
+            side_key[i][side] = key
 
     from .batched import extract_features_batched, match_pairs_batched
     feats = extract_features_batched(
-        params, records, data_root, top_k, detection_threshold,
-        compute_dtype, batch_size, progress, tag="MegaDepth-1500 batched")
+        params, list(uniq.values()), data_root, top_k,
+        detection_threshold, compute_dtype, batch_size, progress,
+        tag="MegaDepth-1500 batched")
     matches = match_pairs_batched(
-        feats, [((i, 0), (i, 1)) for i in range(len(pairs))], batch_size)
+        feats, [(side_key[i][0], side_key[i][1])
+                for i in range(len(pairs))], batch_size)
 
     # -- pose estimation (host), optionally process-parallel --------------
     jobs = [(pairs[i], matches[i][0], matches[i][1],

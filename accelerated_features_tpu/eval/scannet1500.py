@@ -52,6 +52,33 @@ def rel_pose_0to1(pose0_c2w: np.ndarray, pose1_c2w: np.ndarray) -> np.ndarray:
     return np.linalg.inv(pose1_c2w) @ pose0_c2w
 
 
+def _read_match_cache(cache_path, cache_meta, n_pairs):
+    """Return cached matches if the file exists AND matches the config
+    meta + pair count; None (with a notice) otherwise."""
+    if not (cache_path and os.path.exists(cache_path)):
+        return None
+    data = np.load(cache_path, allow_pickle=True)
+    stored_meta = str(data["meta"]) if "meta" in data else None
+    if ((cache_meta is None or stored_meta == cache_meta)
+            and len(data["matches"]) == n_pairs):
+        return [tuple(m) for m in data["matches"]]
+    print(f"[ScanNet-1500] cache {cache_path} is for a different "
+          f"configuration ({stored_meta!r} != {cache_meta!r}); "
+          "recomputing matches")
+    return None
+
+
+def _write_match_cache(cache_path, matches, cache_meta):
+    # build the object array explicitly: np.asarray(out, dtype=object)
+    # on homogeneous-shape match lists produces a 4-D numeric-style
+    # object array that doesn't round-trip as a list of pairs
+    arr = np.empty(len(matches), dtype=object)
+    for i, m in enumerate(matches):
+        arr[i] = m
+    np.savez_compressed(cache_path, matches=arr,
+                        meta=np.str_(cache_meta or ""))
+
+
 def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
                     cache_path: Optional[str] = None, progress: bool = True,
                     cache_meta: Optional[str] = None
@@ -64,15 +91,9 @@ def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
     file whose meta differs (or whose pair count differs) is recomputed
     instead of silently serving another configuration's matches."""
     import cv2
-    if cache_path and os.path.exists(cache_path):
-        data = np.load(cache_path, allow_pickle=True)
-        stored_meta = str(data["meta"]) if "meta" in data else None
-        if ((cache_meta is None or stored_meta == cache_meta)
-                and len(data["matches"]) == len(pairs)):
-            return [tuple(m) for m in data["matches"]]
-        print(f"[ScanNet-1500] cache {cache_path} is for a different "
-              f"configuration ({stored_meta!r} != {cache_meta!r}); "
-              "recomputing matches")
+    cached = _read_match_cache(cache_path, cache_meta, len(pairs))
+    if cached is not None:
+        return cached
     out = []
     it = pairs
     if progress:
@@ -89,14 +110,7 @@ def extract_matches(matcher_fn, data_root: str, pairs: List[dict],
         mk0, mk1 = matcher_fn(im0, im1)
         out.append((np.asarray(mk0), np.asarray(mk1)))
     if cache_path:
-        # build the object array explicitly: np.asarray(out, dtype=object)
-        # on homogeneous-shape match lists produces a 4-D numeric-style
-        # object array that doesn't round-trip as a list of pairs
-        arr = np.empty(len(out), dtype=object)
-        for i, m in enumerate(out):
-            arr[i] = m
-        np.savez_compressed(cache_path, matches=arr,
-                            meta=np.str_(cache_meta or ""))
+        _write_match_cache(cache_path, out, cache_meta)
     return out
 
 
@@ -114,12 +128,9 @@ def extract_matches_batched(data_root: str, pairs: List[dict],
     matching as a vmapped masked MNN (eval/batched.py) — same results as
     the per-pair `extract_matches` with XFeat.match_xfeat, at batch
     operating points. Honors the same cache file format/meta."""
-    if cache_path and os.path.exists(cache_path):
-        data = np.load(cache_path, allow_pickle=True)
-        stored_meta = str(data["meta"]) if "meta" in data else None
-        if ((cache_meta is None or stored_meta == cache_meta)
-                and len(data["matches"]) == len(pairs)):
-            return [tuple(m) for m in data["matches"]]
+    cached = _read_match_cache(cache_path, cache_meta, len(pairs))
+    if cached is not None:
+        return cached
 
     from ..api import load_params
     from .batched import extract_features_batched, match_pairs_batched
@@ -142,11 +153,7 @@ def extract_matches_batched(data_root: str, pairs: List[dict],
     out = match_pairs_batched(
         feats, [((i, 0), (i, 1)) for i in range(len(pairs))], batch_size)
     if cache_path:
-        arr = np.empty(len(out), dtype=object)
-        for i, m in enumerate(out):
-            arr[i] = m
-        np.savez_compressed(cache_path, matches=arr,
-                            meta=np.str_(cache_meta or ""))
+        _write_match_cache(cache_path, out, cache_meta)
     return out
 
 
@@ -351,7 +358,8 @@ def main():
                           lg_weights=args.lg_weights)
     meta = (f"matcher={args.matcher} top_k={args.top_k} "
             f"weights={args.weights} lg_weights={args.lg_weights} "
-            f"npz={os.path.basename(args.npz)}")
+            f"npz={os.path.basename(args.npz)} "
+            f"mode={'batched-f32' if args.batched else 'perpair'}")
     batched = ({"top_k": args.top_k, "weights": args.weights,
                 "batch_size": args.batch_size}
                if args.batched else None)

@@ -439,10 +439,12 @@ class LighterGlue:
             self.params = init_lighterglue_params(jax.random.key(0), conf)
         elif isinstance(weights, str):
             import os as _os
-            if _os.path.isdir(weights) or not weights.endswith(
-                    (".npz", ".pt", ".pth")):
+            if _os.path.isdir(weights):
                 # training checkpoint directory (orbax or npz) produced by
-                # train/lighterglue_run: extract the params subtree
+                # train/lighterglue_run: resolve the latest checkpoint and
+                # extract the params subtree. (Files keep the suffix-based
+                # branches below — a non-directory path can't be an orbax
+                # checkpoint, and torch.load gives clear errors for typos.)
                 from ..utils.checkpoint import load_params_from_checkpoint
                 self.params = load_params_from_checkpoint(weights)
             elif weights.endswith(".npz"):
