@@ -270,6 +270,14 @@ def test_run_benchmark_batched_matches_sequential(tmp_path):
             "size0_hw": list(hw), "size1_hw": list(hw),
             "scale0": [1.0, 1.0], "scale1": [1.0, 1.0],
         })
+    # a pair REUSING an earlier image (exercises the dedup-by-path+size
+    # extraction) at the same stored size
+    pairs.append({
+        "K0": K, "K1": K, "T_0to1": np.eye(4).tolist(),
+        "pair_names": ["a0.png", "b2.png"],
+        "size0_hw": [224, 320], "size1_hw": [224, 320],
+        "scale0": [1.0, 1.0], "scale1": [1.0, 1.0],
+    })
     import json as _json
     jpath = tmp_path / "pairs.json"
     jpath.write_text(_json.dumps(pairs))
@@ -281,7 +289,7 @@ def test_run_benchmark_batched_matches_sequential(tmp_path):
     summary_b = run_benchmark_batched(
         str(root), str(jpath), top_k=128, batch_size=2, progress=False,
         detection_threshold=0.012)
-    assert summary_b["n_pairs"] == 3
+    assert summary_b["n_pairs"] == 4
 
     xf = XFeat(weights=None, top_k=128, detection_threshold=0.012)
     summary_s = run_benchmark(lambda a, b: xf.match_xfeat(a, b),
