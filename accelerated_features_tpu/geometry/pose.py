@@ -24,20 +24,39 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _SO_PATH = os.path.join(_NATIVE_DIR, "libposekit.so")
 
 
+_HASH_PATH = _SO_PATH + ".srchash"
+
+
+def _src_hash():
+    import hashlib
+    cpp = os.path.join(_NATIVE_DIR, "posekit.cpp")
+    if not os.path.exists(cpp):
+        return None
+    with open(cpp, "rb") as f:
+        return hashlib.sha1(f.read()).hexdigest()
+
+
 def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "posekit.cpp")
-    if not os.path.exists(src):
+    h = _src_hash()
+    if h is None:
         return False
     # compile to a private temp name, then atomically rename into place:
     # concurrent first-use builds (e.g. a spawned eval worker pool) must
-    # never dlopen a partially written .so
+    # never dlopen a partially written .so. CXX/CXXFLAGS honored (same
+    # contract as native/Makefile).
     tmp = f"{_SO_PATH}.tmp.{os.getpid()}"
+    cxx = os.environ.get("CXX", "g++")
+    flags = os.environ.get(
+        "CXXFLAGS", "-O3 -march=native -fPIC -std=c++17").split()
     try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
-             "-o", tmp, src],
-            check=True, capture_output=True, timeout=300)
+        subprocess.run([cxx, *flags, "-shared", "-o", tmp, src],
+                       check=True, capture_output=True, timeout=300)
         os.replace(tmp, _SO_PATH)
+        htmp = f"{_HASH_PATH}.tmp.{os.getpid()}"
+        with open(htmp, "w") as f:
+            f.write(h)
+        os.replace(htmp, _HASH_PATH)
         return True
     except Exception:
         try:
@@ -52,12 +71,18 @@ def _lib():
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        _cpp = os.path.join(_NATIVE_DIR, "posekit.cpp")
-        # rebuild when the source is newer; a prebuilt .so without the
-        # C++ sources on disk (wheel/minimal deploy) is used as-is
-        if not os.path.exists(_SO_PATH) or (
-                os.path.exists(_cpp) and
-                os.path.getmtime(_SO_PATH) < os.path.getmtime(_cpp)):
+        # staleness: a sidecar .srchash records which posekit.cpp the
+        # .so was compiled from (mtimes are meaningless after git
+        # checkout, and a foreign -march=native binary could SIGILL).
+        # Rebuild when sources are present and the sidecar is missing or
+        # differs; a prebuilt .so WITHOUT sources (wheel/minimal deploy)
+        # is used as-is.
+        h = _src_hash()
+        stored = None
+        if os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                stored = f.read().strip()
+        if not os.path.exists(_SO_PATH) or (h is not None and stored != h):
             if not _build() and not os.path.exists(_SO_PATH):
                 raise RuntimeError("posekit build failed; run `make -C native`")
         lib = ctypes.CDLL(_SO_PATH)
@@ -96,6 +121,9 @@ def estimate_relative_pose(pts0: np.ndarray, pts1: np.ndarray,
     """
     pts0 = np.ascontiguousarray(pts0, np.float64)
     pts1 = np.ascontiguousarray(pts1, np.float64)
+    if len(pts0) != len(pts1):
+        raise ValueError(f"pts0/pts1 length mismatch: "
+                         f"{len(pts0)} != {len(pts1)}")
     n = len(pts0)
     if n < 5:
         return None
@@ -122,6 +150,9 @@ def estimate_homography(pts0: np.ndarray, pts1: np.ndarray,
     equivalent: USAC_MAGSAC thr 4.0, maxIters 700). Returns (H, mask)."""
     pts0 = np.ascontiguousarray(pts0, np.float64)
     pts1 = np.ascontiguousarray(pts1, np.float64)
+    if len(pts0) != len(pts1):
+        raise ValueError(f"pts0/pts1 length mismatch: "
+                         f"{len(pts0)} != {len(pts1)}")
     n = len(pts0)
     if n < 4:
         return None
@@ -140,6 +171,9 @@ def five_point(x0: np.ndarray, x1: np.ndarray) -> np.ndarray:
     """Minimal 5-pt solver on normalized coords -> (N<=10, 3, 3) E stack."""
     x0 = np.ascontiguousarray(x0, np.float64)
     x1 = np.ascontiguousarray(x1, np.float64)
+    if len(x0) < 5 or len(x1) < 5:
+        raise ValueError("five_point needs exactly 5 correspondences "
+                         f"(got {len(x0)}, {len(x1)})")
     out = np.zeros((10, 3, 3), np.float64)
     cnt = _lib().pk_five_point(_cptr(x0), _cptr(x1), _cptr(out))
     return out[:cnt]

@@ -555,25 +555,26 @@ struct RansacResult {
 
 static void score_model(const M3& E, const double* p0, const double* p1,
                         int n, double thr_sq, RansacResult& out) {
+  // pass 1: MSAC score only (no allocation; most candidates lose).
   double score = 0;
+  for (int i = 0; i < n; i++) {
+    double e = sampson_sq(E, p0 + 2 * i, p1 + 2 * i);
+    score += (e < thr_sq) ? e : thr_sq;
+  }
+  if (score >= out.score) return;
+  // pass 2 (winner only): collect the inlier mask, reusing capacity.
+  out.inliers.assign(n, 0);
   int cnt = 0;
-  std::vector<char> inl(n, 0);
   for (int i = 0; i < n; i++) {
     double e = sampson_sq(E, p0 + 2 * i, p1 + 2 * i);
     if (e < thr_sq) {
-      score += e;
-      inl[i] = 1;
+      out.inliers[i] = 1;
       cnt++;
-    } else {
-      score += thr_sq;
     }
   }
-  if (score < out.score) {
-    out.score = score;
-    out.E = E;
-    out.inliers = inl;
-    out.num_inliers = cnt;
-  }
+  out.score = score;
+  out.E = E;
+  out.num_inliers = cnt;
 }
 
 static RansacResult ransac_E(const double* p0, const double* p1, int n,
@@ -605,18 +606,23 @@ static RansacResult ransac_E(const double* p0, const double* p1, int n,
     }
     M3 Es[10];
     int ne = five_point(x0, x1, Es);
-    int prev_inliers = best.num_inliers;
+    double prev_score = best.score;
     for (int e = 0; e < ne; e++) score_model(Es[e], p0, p1, n, thr_sq, best);
 
-    // local optimization whenever the best model improved
-    if (best.num_inliers > prev_inliers && best.num_inliers >= 8) {
+    // local optimization whenever the best model improved by SCORE (the
+    // inlier count saturates quickly; score-only improvements still
+    // deserve the non-minimal refit), stopping when a refit round no
+    // longer improves
+    if (best.score < prev_score && best.num_inliers >= 8) {
       for (int lo_iter = 0; lo_iter < 2; lo_iter++) {
+        double s_before = best.score;
         std::vector<int> inl_idx;
         for (int i = 0; i < n; i++)
           if (best.inliers[i]) inl_idx.push_back(i);
         M3 El;
         if (fit_E_linear(p0, p1, inl_idx, El))
           score_model(El, p0, p1, n, thr_sq, best);
+        if (best.score >= s_before) break;
       }
     }
     // adaptive termination (compare in double: the iteration estimate can
@@ -670,9 +676,13 @@ int pk_estimate_relative_pose(const double* pts0, const double* pts1, int n,
   std::vector<int> inl_idx;
   for (int i = 0; i < n; i++)
     if (res.inliers[i]) inl_idx.push_back(i);
-  pk::M3 R;
-  pk::V3 t;
-  pk::recover_pose(res.E, n0.data(), n1.data(), inl_idx, R, t);
+  pk::M3 R{};
+  pk::V3 t{0, 0, 0};
+  // cheirality: if NO candidate places a single inlier in front of both
+  // cameras, the pose is meaningless — report failure rather than an
+  // arbitrary (R, t)
+  if (pk::recover_pose(res.E, n0.data(), n1.data(), inl_idx, R, t) <= 0)
+    return 0;
   double tn = std::sqrt(pk::dot(t, t));
   if (tn > 1e-12) {
     t.x /= tn;
