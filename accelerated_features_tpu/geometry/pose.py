@@ -144,7 +144,7 @@ def estimate_relative_pose(pts0: np.ndarray, pts1: np.ndarray,
 
 def estimate_homography(pts0: np.ndarray, pts1: np.ndarray,
                         thresh: float = 4.0, max_iters: int = 700,
-                        seed: int = 0
+                        seed: int = 0, success_prob: float = 0.99999
                         ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """4-pt DLT + LO-RANSAC homography (reference realtime_demo.py:225
     equivalent: USAC_MAGSAC thr 4.0, maxIters 700). Returns (H, mask)."""
@@ -161,7 +161,8 @@ def estimate_homography(pts0: np.ndarray, pts1: np.ndarray,
     ninl = _lib().pk_estimate_homography(
         _cptr(pts0), _cptr(pts1), ctypes.c_int(n), ctypes.c_double(thresh),
         ctypes.c_int(max_iters), ctypes.c_uint(seed), _cptr(H),
-        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_double(success_prob))
     if ninl <= 0:
         return None
     return H, mask.astype(bool)

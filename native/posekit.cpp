@@ -701,7 +701,8 @@ int pk_estimate_relative_pose(const double* pts0, const double* pts1, int n,
 // 4-point DLT homography + LO-RANSAC (MSAC). Returns inlier count.
 int pk_estimate_homography(const double* pts0, const double* pts1, int n,
                            double thresh, int max_iters, unsigned seed,
-                           double* H_out, unsigned char* inlier_mask) {
+                           double* H_out, unsigned char* inlier_mask,
+                           double success_prob) {
   if (n < 4) return 0;
   std::mt19937 rng(seed);
   double thr_sq = thresh * thresh;
@@ -821,7 +822,8 @@ int pk_estimate_homography(const double* pts0, const double* pts1, int n,
         double po = std::min(std::max(1.0 - std::pow(w, 4), 1e-12),
                              1.0 - 1e-12);
         // double comparison: the estimate overflows int for tiny ratios
-        double need = std::ceil(std::log(1e-5) / std::log(po));
+        double need = std::ceil(std::log(1.0 - success_prob) /
+                                std::log(po));
         if (need < (double)iters) iters = std::max((int)need, it + 1);
       }
     }
