@@ -186,6 +186,46 @@ def test_tpu_ransac_batched():
         assert err_r < 2.0 and err_t < 4.0
 
 
+def test_tpu_ransac_small_n_no_duplicates():
+    """Minimal samples are drawn WITHOUT replacement (Gumbel-top-k), so
+    8-point hypotheses are full-rank even at small N, and the estimator
+    still succeeds at N=30 where with-replacement sampling made ~61% of
+    hypotheses degenerate."""
+    import jax
+    import jax.numpy as jnp
+    from accelerated_features_tpu.geometry.ransac_tpu import (
+        ransac_essential_tpu)
+
+    p0, p1, K, R_gt, t_gt, _ = _synth_scene(seed=3, outlier_frac=0.1)
+    sel = np.random.default_rng(0).choice(len(p0), 30, replace=False)
+    res = ransac_essential_tpu(jnp.asarray(p0[sel]), jnp.asarray(p1[sel]),
+                               jnp.asarray(K, jnp.float32),
+                               jnp.asarray(K, jnp.float32),
+                               max_epipolar_error=1.5,
+                               key=jax.random.key(4))
+    err_r, err_t = _angular_errors(np.asarray(res.R), np.asarray(res.t),
+                                   R_gt, t_gt)
+    assert err_r < 3.0 and err_t < 6.0, (err_r, err_t)
+    assert int(res.num_inliers) >= 20
+
+
+@pytest.mark.skipif(not posekit_available(), reason="posekit unavailable")
+def test_ffi_length_mismatch_raises():
+    """Mismatched correspondence array lengths must fail at the Python
+    boundary, not read out of bounds in native code."""
+    from accelerated_features_tpu.geometry.pose import (estimate_homography,
+                                                        estimate_relative_pose)
+    K = np.eye(3) * 500
+    K[2, 2] = 1
+    with pytest.raises(ValueError):
+        estimate_relative_pose(np.zeros((50, 2)), np.zeros((30, 2)), K, K)
+    with pytest.raises(ValueError):
+        estimate_homography(np.zeros((50, 2)), np.zeros((30, 2)))
+    from accelerated_features_tpu.geometry.pose import five_point
+    with pytest.raises(ValueError):
+        five_point(np.zeros((4, 2)), np.zeros((4, 2)))
+
+
 def test_pose_backend_registry():
     """get_pose_estimator: both backends share the host contract and agree
     with ground truth on the synthetic scene (VERDICT r1 #9 — the TPU

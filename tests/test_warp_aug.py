@@ -137,6 +137,28 @@ def test_corr_to_fixed():
     np.testing.assert_allclose(np.asarray(c)[0, 0], np.arange(4, 8))
 
 
+def test_corr_to_fixed_random_subsample():
+    """With a key, over-budget truncation samples valid rows uniformly
+    instead of keeping the first (raster-order) rows — the set kept must
+    vary with the key, always be valid rows, and never contain invalid
+    rows while valid ones are dropped."""
+    rng = np.random.default_rng(0)
+    n, budget = 64, 8
+    corrs = jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32))
+    mask = jnp.asarray((np.arange(n) % 2 == 0)[None])  # 32 valid rows
+
+    kept = []
+    for seed in range(4):
+        c, m = corr_to_fixed(corrs, mask, budget, key=jax.random.key(seed))
+        assert bool(m.all())                       # budget < n_valid
+        rows = {tuple(np.asarray(c)[0, i]) for i in range(budget)}
+        valid_rows = {tuple(np.asarray(corrs)[0, i])
+                      for i in range(n) if i % 2 == 0}
+        assert rows <= valid_rows                  # only valid rows kept
+        kept.append(frozenset(rows))
+    assert len(set(kept)) > 1                      # varies with the key
+
+
 def test_homography_point_roundtrip():
     H = np.asarray(random_homography(jax.random.key(0), (100, 150), 0.2))
     pts = np.random.default_rng(0).uniform(0, 100, (20, 2)).astype(np.float32)
