@@ -48,10 +48,12 @@ fused detect path). Any /32-divisible H, W. Output bit-identity with the
 XLA stem is NOT expected (different contraction grouping); parity is
 tested to tight f32 / loose bf16 tolerances in tests/test_stem_fused.py.
 
-ROUTING: not yet routed into models/backbone.py — the TPU tunnel was
-down when this was written, so on-chip timing is pending. Flip
-`xfeat_forward(..., fused_stem=True)` / set XFEAT_FUSED_STEM=1 once
-measured faster (see STATUS.md next-round target 1).
+ROUTING: wired into models/backbone.py behind
+`xfeat_forward(..., fused_stem=True)` / the XFEAT_FUSED_STEM env var
+(resolved at jit-construction in api.XFeat), DEFAULT OFF — the TPU
+tunnel was down when this was written, so on-chip timing is pending.
+Measure with `apps/measure_stem.py` and flip the default if the FULL
+pipeline is faster (docs/TPU_AGENDA.md step 2).
 """
 
 from __future__ import annotations
