@@ -108,6 +108,32 @@ def test_restore_checkpoint_npz_key_pairing(tmp_path):
     assert isinstance(out["opt_state"][0], Opt)
 
 
+def test_shipped_artifact_resumable_and_loadable():
+    """artifacts/run_tf_ckpt3000.npz (the preserved round-2 training
+    state) must keep restoring into the real train-state structure (for
+    resume) and into XFeat (for inference) — guards against schema drift
+    in either loader."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "artifacts", "run_tf_ckpt3000.npz")
+    if not os.path.exists(path):
+        pytest.skip("artifact not present")
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.train.trainer import (TrainConfig,
+                                                        init_train_state)
+    from accelerated_features_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = TrainConfig(use_distill=False, use_kp_position=True)
+    target = init_train_state(init_xfeat_params(jax.random.key(0)), cfg)
+    state = restore_checkpoint(path, jax.device_get(target))
+    assert int(state["step"]) == 3000
+
+    from accelerated_features_tpu.api import XFeat
+    xf = XFeat(weights=path, top_k=32)
+    x = np.random.default_rng(0).uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    assert len(xf.detectAndCompute(x)[0]["keypoints"]) > 0
+
+
 def test_profiling_helpers(tmp_path):
     from accelerated_features_tpu.utils.profiling import (FPSMeter,
                                                           speed_of_light,
