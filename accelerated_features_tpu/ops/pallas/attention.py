@@ -74,9 +74,17 @@ def _flash_call(q, k, v, mask, scale, interpret=False):
     b, nq, d = q.shape
     nk = k.shape[1]
     grid = (b, nq // TQ)
+    # K and V live in VMEM as whole (nk, d) blocks: size the scoped-vmem
+    # budget to the problem (the 16 MiB default fails to compile past
+    # ~8k keys; v5e has 128 MiB VMEM). ~3x covers q/out/mask/softmax
+    # accumulators and double buffering.
+    per_buf = nk * d * 4
+    vmem_cap = min(120, max(16, (3 * per_buf) // (1 << 20) + 8))
     return pl.pallas_call(
         _attn_kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_cap * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, 1), lambda bi, qi: (0, 0),
                          memory_space=pltpu.SMEM),

@@ -117,7 +117,11 @@ def mnn_match_fused(d1: jax.Array, d2: jax.Array,
                     min_cossim: float = -1.0,
                     interpret: Optional[bool] = None
                     ) -> Tuple[jax.Array, jax.Array]:
-    """Drop-in fused replacement for ops.matching.mnn_match.
+    """Fused Pallas counterpart of ops.matching.mnn_match — identical
+    semantics per argument, but NOTE the different `min_cossim` default:
+    -1.0 (the reference's PIPELINE default, xfeat.py:184,266) instead of
+    mnn_match's 0.82 (the reference's bare-`match` default). Pass it
+    explicitly when swapping call sites.
 
     Returns (idx1 (K1,), mask (K1,)). Falls back to the XLA path when Pallas
     is unavailable. `interpret` defaults to True off-TPU (CI/CPU tests)."""

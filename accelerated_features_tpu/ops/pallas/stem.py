@@ -218,9 +218,11 @@ def _stem_kernel(x_ref, wb1, wb2, wb3, wb4, wsk, bv_ref, out_ref,
 def _stem_call(xg, wb1, wb2, wb3, wb4, wsk, bv, interpret=False):
     b, H, W = xg.shape
     H4, W4 = H // 4, W // 4
-    # Working set: im2col operands + activations, ~40 f32-equivalent
-    # bytes per input pixel at bf16. Cap scales with the image.
-    vmem_cap = min(112, max(24, (44 * H * W) // (1024 * 1024) + 8))
+    # Working set: im2col operands + activations, ~44 bytes per input
+    # pixel at bf16 — and ~2x that for a float32 compute dtype (the
+    # xfeat_forward default). Cap scales with image size AND dtype.
+    bpp = 44 * (xg.dtype.itemsize / 2)
+    vmem_cap = min(120, max(24, int(bpp * H * W) // (1024 * 1024) + 8))
     kern = functools.partial(_stem_kernel, H=H, W=W)
     return pl.pallas_call(
         kern,

@@ -27,15 +27,30 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> bool:
     """jax.distributed.initialize with env-var fallbacks; returns True when
-    multi-host is active. Safe to call on a single host (no-op)."""
-    num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "1"))
-    if num_processes <= 1 and coordinator_address is None:
-        return False
+    multi-host is active. Safe to call on a single host (no-op).
+
+    Unset values stay None so jax can AUTO-DETECT them from the cluster
+    environment (TPU pod metadata / coordinator handshake) — forcing
+    num_processes=1 here would silently skip multi-host init on a real
+    pod slice, and passing num_processes without process_id crashes
+    every non-zero host."""
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    in_cluster = (coordinator_address is not None
+                  or (num_processes or 1) > 1
+                  or os.environ.get("TPU_WORKER_HOSTNAMES")
+                  or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not in_cluster:
+        return False                       # plain single host
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id)
-    return True
+        num_processes=num_processes,       # None -> auto-detect
+        process_id=process_id)             # None -> auto-detect
+    return jax.process_count() > 1
 
 
 def make_pod_mesh(model: int = 1, axis_names=("data", "model")):

@@ -56,7 +56,10 @@ def mnn_match_sp(mesh: Mesh, d1: jax.Array, d2: jax.Array,
 
     d1 (K1, C) replicated; d2 (K2, C) sharded over `axis` (K2 divisible by
     the axis size). Returns (idx1 (K1,), mask (K1,)) replicated — identical
-    to ops.matching.mnn_match up to float reduction order."""
+    to ops.matching.mnn_match up to float reduction order, but NOTE the
+    different `min_cossim` default: -1.0 (the reference's pipeline
+    default) instead of mnn_match's bare-`match` 0.82; pass it explicitly
+    when swapping call sites."""
     ndev = mesh.shape[axis]
     k1 = d1.shape[0]
     k2 = d2.shape[0]

@@ -97,8 +97,11 @@ def distill_labels_from_kpts(teacher_kpts: jax.Array, kpt_valid: jax.Array,
                              h: int, w: int) -> jax.Array:
     """Build per-/8-cell labels (0..63 bin or 64 dustbin) from teacher
     keypoints (reference alike_distill_loss label construction,
-    losses.py:80-85; write-last-wins on cell collisions, matching the
-    reference's index_put semantics).
+    losses.py:80-85). Cell collisions resolve deterministically to the
+    HIGHEST keypoint index (torch's index_put is effectively
+    write-last-wins on CPU and nondeterministic on CUDA; XLA scatter
+    picks an arbitrary winner — the explicit max makes runs
+    reproducible).
 
     teacher_kpts: (T, 2) full-res xy (padded entries anywhere); kpt_valid: (T,).
     Returns (h, w) int32 labels.
@@ -109,11 +112,17 @@ def distill_labels_from_kpts(teacher_kpts: jax.Array, kpt_valid: jax.Array,
     off = jnp.floor(frac * 8.0).astype(jnp.int32)
     bins = off[:, 0] + 8 * off[:, 1]
 
-    labels = jnp.full((h * w,), 64, jnp.int32)
     flat_idx = jnp.where(kpt_valid, cell_y * w + cell_x, h * w)  # OOB drop
-    labels = labels.at[flat_idx].set(jnp.where(kpt_valid, bins, 64),
-                                     mode="drop")
-    return labels.reshape(h, w)
+    # deterministic collision rule: the highest-index keypoint in a cell
+    # wins (scatter-max over an index LUT, then gather its bin)
+    t = teacher_kpts.shape[0]
+    lut = jnp.full((h * w,), -1, jnp.int32)
+    lut = lut.at[flat_idx].max(
+        jnp.where(kpt_valid, jnp.arange(t, dtype=jnp.int32), -1),
+        mode="drop")
+    winner = jnp.clip(lut, 0, t - 1)
+    labels = jnp.where(lut.reshape(-1) >= 0, bins[winner], 64)
+    return labels.reshape(h, w).astype(jnp.int32)
 
 
 def distill_loss(kpt_logits: jax.Array, labels: jax.Array,
@@ -155,8 +164,12 @@ def hard_triplet_loss(x: jax.Array, y: jax.Array, valid: jax.Array,
     """Margin ranking with hardest negative (reference losses.py:206-224),
     masked. Kept for API completeness (unused by the default recipe, same as
     the reference)."""
+    # HIGHEST precision: the hardest-negative argmin decides which
+    # descriptor receives gradient; default TPU matmul precision
+    # (~2e-3 relative) can flip it between near-tied negatives
+    # (same rule as ops/matching.py:34-36)
     d2 = (jnp.sum(x ** 2, -1)[:, None] + jnp.sum(y ** 2, -1)[None, :]
-          - 2.0 * x @ y.T)
+          - 2.0 * jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST))
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
     pos = jnp.diagonal(dist)
     big = 100.0
@@ -212,14 +225,19 @@ def keypoint_position_loss(logits1: jax.Array, logits2: jax.Array,
     l1 = logits1.reshape(h * w, C) * softmax_temp
     l2 = logits2.reshape(h * w, C) * softmax_temp
 
-    # full-res collision hashmap pts1 -> pts2 (reference losses.py:128-130;
-    # write-last-wins like index_put)
+    # full-res collision hashmap pts1 -> pts2 (reference losses.py:128-130).
+    # Collisions resolve deterministically to the HIGHEST correspondence
+    # index (XLA scatter's duplicate winner is arbitrary; torch index_put
+    # is write-last on CPU) via a scatter-max index LUT.
     p1 = pts1.astype(jnp.int32)
     p2 = pts2.astype(jnp.int32)
+    m = pts1.shape[0]
     flat1 = jnp.where(valid, p1[:, 1] * W + p1[:, 0], H * W)
-    hashmap = jnp.full((H * W, 2), -1, jnp.int32)
-    hashmap = hashmap.at[flat1].set(
-        jnp.where(valid[:, None], p2, -1), mode="drop")
+    idx_lut = jnp.full((H * W,), -1, jnp.int32)
+    idx_lut = idx_lut.at[flat1].max(
+        jnp.where(valid, jnp.arange(m, dtype=jnp.int32), -1), mode="drop")
+    winner = jnp.clip(idx_lut, 0, m - 1)
+    hashmap = jnp.where((idx_lut >= 0)[:, None], p2[winner], -1)
 
     # view-1 cells' current predicted full-res coordinate (argmax offset;
     # the dustbin argmax maps off-cell exactly as the reference formula)
