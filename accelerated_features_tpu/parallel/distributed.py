@@ -40,9 +40,13 @@ def initialize(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["PROCESS_ID"])
     if coordinator_address is None:
         coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    # TPU_WORKER_HOSTNAMES counts as a cluster signal only with MULTIPLE
+    # workers — single-host runtimes (incl. this dev box's relay) export
+    # it as just "localhost"
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     in_cluster = (coordinator_address is not None
                   or (num_processes or 1) > 1
-                  or os.environ.get("TPU_WORKER_HOSTNAMES")
+                  or "," in workers
                   or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if not in_cluster:
         return False                       # plain single host
