@@ -23,19 +23,23 @@ break: HBM traffic is one read of the gray image + one write of the
 
 MXU packing ("halo grouping", per-conv):
   * activations live in VMEM as 2D (rows, W*C) with lane index w*C + c;
-  * each matmul row evaluates G consecutive output columns: N = G*C_out
-    (96-128), K = 3 * window * C_in (102-432), where window = G+2 for
-    stride 1 and 2G+1 for stride 2;
-  * the im2col operand is assembled from STATIC lane slices (one per
-    column group; G divides the /32-divisible widths by construction)
-    and static (strided) sublane slices for rows — no dynamic gather,
-    no lane compaction, none of the Mosaic-unsupported shape casts that
-    blocked ops/pallas/bicubic_mxu.py;
-  * weights are banded block-Toeplitz expansions of the 3x3 kernels
-    (built with scatter-at once per trace; the extra band entries
-    multiply structural zeros, so numerics match the direct conv up to
-    float reduction order);
-  * the avg-pool skip is a second small matmul (K = 4*G lanes of the
+  * each matmul row evaluates G consecutive output columns, and the
+    contraction is split into THREE dots — one per kernel row dy — so no
+    lane-dim concatenation of row-shifted windows is needed (Mosaic
+    rejects tpu.concatenate whose operands disagree in sublane offset,
+    and strided vector slices outright; both were hit on hardware);
+  * group lane strides are chosen so every window slice starts at a lane
+    offset ≡ 0 (mod 128): G1=128 (conv1, ci=1), G2=G3=16 (4- and 8-ch,
+    /2 grid), G4=8 (8-ch stride 2), GS=32 (skip, pooled rows). conv1 and
+    the skip pad the trailing group with zero lanes when 128 ∤ W and
+    slice the garbage columns off after reassembly;
+  * stride-2 row access uses an even/odd major-dim reshape split
+    ((2h+2, L) -> (h+1, 2, L)) instead of stride-2 slices;
+  * weights are per-kernel-row banded block-Toeplitz expansions of the
+    3x3 kernels (built with scatter-at once per trace; the extra band
+    entries multiply structural zeros, so numerics match the direct
+    conv up to float reduction order);
+  * the avg-pool skip is a second small matmul (K = 128 lanes of the
     row-pooled input) added AFTER conv4's ReLU, matching the reference
     dataflow exactly.
 
@@ -72,36 +76,33 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
-# Output columns evaluated per matmul row, per conv. Every /32-divisible
-# width W satisfies the divisibility each group needs (W % 32 == 0 =>
-# (W/2) % 16 == 0 and (W/4) % 4 == 0).
-_G1, _G2, _G3, _G4 = 32, 16, 16, 4
-# K (im2col lanes) per conv: 3 * window * C_in, padded to 128 multiples.
-_K1, _K2, _K3, _K4, _KS = 3 * 34 * 1, 3 * 33 * 4, 3 * 18 * 8, 3 * 9 * 8, 16
-
-
-def _pad128(n: int) -> int:
-    return -(-n // 128) * 128
+# Output columns evaluated per matmul row, per conv, chosen so every
+# window slice starts at lane offset 0 (mod 128). conv2-4 divide every
+# /32-divisible width exactly; conv1 and the skip pad the tail group.
+_G1, _G2, _G3, _G4, _GS = 128, 16, 16, 8, 32
 
 
 def _banded(w: jax.Array, g: int, stride: int, dtype) -> jax.Array:
-    """Block-Toeplitz expansion of a (3, 3, ci, co) kernel for the halo
-    matmul: out column n = u*co_n + co evaluates output position u in the
-    group; row k = dy*(win*ci) + j*ci + c reads window column j, channel c
-    of input row dy. Entry = w[dy, j - stride*u, c, co] when the offset is
-    a valid tap. Built with one scatter; index tables are numpy constants
-    so this folds into a few cheap device ops per trace."""
+    """Per-kernel-row block-Toeplitz expansion of a (3, 3, ci, co) kernel
+    for the halo matmul, shape (3, win*ci, g*co): band dy, row k = j*ci+c
+    reads window column j, channel c of input row (r*stride + dy); column
+    n = u*co_n + co evaluates output position u in the group. Entry =
+    w[dy, j - stride*u, c, co] when the offset is a valid tap. Built with
+    one scatter; index tables are numpy constants so this folds into a
+    few cheap device ops per trace."""
     ci, co = int(w.shape[2]), int(w.shape[3])
     win = g + 2 if stride == 1 else 2 * g + 1
-    K, N = 3 * win * ci, g * co
+    K, N = win * ci, g * co
     dy, u, cc, oo = np.meshgrid(np.arange(3), np.arange(g), np.arange(ci),
                                 np.arange(co), indexing="ij")
-    rows, cols, wi = [], [], []
+    bands, rows, cols, wi = [], [], [], []
     for dx in range(3):
         j = stride * u + dx
-        rows.append(dy * (win * ci) + j * ci + cc)
+        bands.append(dy)
+        rows.append(j * ci + cc)
         cols.append(u * co + oo)
         wi.append((np.full_like(dy, dx), dy, cc, oo))
+    bands = np.concatenate([b.ravel() for b in bands])
     rows = np.concatenate([r.ravel() for r in rows])
     cols = np.concatenate([c.ravel() for c in cols])
     dxs = np.concatenate([w_[0].ravel() for w_ in wi])
@@ -109,21 +110,21 @@ def _banded(w: jax.Array, g: int, stride: int, dtype) -> jax.Array:
     cis = np.concatenate([w_[2].ravel() for w_ in wi])
     cos = np.concatenate([w_[3].ravel() for w_ in wi])
     vals = w[dys, dxs, cis, cos]
-    out = jnp.zeros((_pad128(K), _pad128(N)), jnp.float32)
-    return out.at[rows, cols].set(vals).astype(dtype)
+    out = jnp.zeros((3, K, N), jnp.float32)
+    return out.at[bands, rows, cols].set(vals).astype(dtype)
 
 
 def _skip_mat(w: jax.Array, dtype) -> jax.Array:
-    """(1x1 conv after 4x4 avgpool) as a (16 -> G4*24) matmul over 4*G4
+    """(1x1 conv after 4x4 avgpool) as a (128 -> GS*24) matmul over 4*GS
     columns of the row-pooled input: lane cc covers pooled output
     u = cc // 4 with weight w[co] / 16 (col pooling folded in)."""
     co = int(w.shape[3])
-    cc = np.arange(4 * _G4)
+    cc = np.arange(4 * _GS)
     u = cc // 4
     rows = np.repeat(cc, co)
-    cols = (np.repeat(u, co) * co + np.tile(np.arange(co), 4 * _G4))
-    vals = jnp.tile(w[0, 0, 0, :] / 16.0, 4 * _G4)
-    out = jnp.zeros((128, _pad128(_G4 * co)), jnp.float32)
+    cols = (np.repeat(u, co) * co + np.tile(np.arange(co), 4 * _GS))
+    vals = jnp.tile(w[0, 0, 0, :] / 16.0, 4 * _GS)
+    out = jnp.zeros((4 * _GS, _GS * co), jnp.float32)
     return out.at[rows, cols].set(vals).astype(dtype)
 
 
@@ -137,79 +138,82 @@ def _stem_kernel(x_ref, wb1, wb2, wb3, wb4, wsk, bv_ref, out_ref,
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32)
 
-    def conv(xp, wb, bias_row, ng, lane_stride, win, ci, n_lanes, hout,
-             stride):
-        """One halo-grouped conv as a single MXU matmul.
+    def conv(xp, wb, bias_row, ng, win, ci, co, wout, hout, stride):
+        """One halo-grouped conv as three MXU matmuls (one per kernel
+        row).
 
-        xp: input padded by 1 row top/bottom and enough lanes left that
-        every window slice offset (`lane_stride * gi`) is >= 0. For each
-        of `ng` column groups, the im2col block is the (win*ci)-lane
-        window, row-shifted (stride 1) or row-strided (stride 2) for the
-        three kernel rows and lane-concatenated into the K dim; groups
-        stack along rows so ONE dot_general serves the whole conv.
-        Returns (hout, ng * n_lanes)."""
+        xp: input padded by 1 row top/bottom and laid out so group gi's
+        window starts at lane 128*gi (offset 0 mod 128 — required for
+        the group row-concatenation to share a Mosaic layout). For each
+        kernel row dy the im2col operand A_dy row-concatenates the ng
+        window slices, row-shifted (stride 1) or even/odd-split via a
+        major-dim reshape (stride 2; Mosaic rejects strided vector
+        slices). Accumulate the three dots, bias, ReLU, reassemble
+        groups along lanes. Returns (hout, wout * co_lanes)."""
         lanes_w = win * ci
-        pieces = []
+        rows_a = [[] for _ in range(3)]
         for gi in range(ng):
-            base = lane_stride * gi
-            wslice = jax.lax.slice(xp, (0, base), (xp.shape[0],
-                                                   base + lanes_w))
+            base = 128 * gi
+            ws = jax.lax.slice(xp, (0, base), (xp.shape[0],
+                                               base + lanes_w))
             if stride == 1:
-                a = jnp.concatenate(
-                    [wslice[d:d + hout] for d in range(3)], axis=1)
+                for d in range(3):
+                    rows_a[d].append(ws[d:d + hout])
             else:
-                a = jnp.concatenate(
-                    [jax.lax.slice(wslice, (d, 0),
-                                   (d + 2 * (hout - 1) + 1, lanes_w),
-                                   (2, 1)) for d in range(3)], axis=1)
-            pieces.append(a)
-        A = jnp.concatenate(pieces, axis=0)         # (ng*hout, 3*lanes_w)
-        kp = wb.shape[0]
-        if A.shape[1] < kp:
-            A = jnp.pad(A, ((0, 0), (0, kp - A.shape[1])))
-        O = dot(A.astype(dt), wb[:].astype(dt)) + bias_row
-        O = jnp.maximum(O, 0.0).astype(dt)
-        return jnp.concatenate(
-            [O[gi * hout:(gi + 1) * hout, :n_lanes]
-             for gi in range(ng)], axis=1)
+                r = ws[:2 * hout + 2].reshape(hout + 1, 2, lanes_w)
+                even, odd = r[:, 0, :], r[:, 1, :]
+                rows_a[0].append(even[:hout])
+                rows_a[1].append(odd[:hout])
+                rows_a[2].append(even[1:hout + 1])
+        acc = None
+        for d in range(3):
+            Ad = (jnp.concatenate(rows_a[d], axis=0) if ng > 1
+                  else rows_a[d][0])                # (ng*hout, lanes_w)
+            o = dot(Ad.astype(dt), wb[d].astype(dt))
+            acc = o if acc is None else acc + o
+        O = jnp.maximum(acc + bias_row, 0.0).astype(dt)
+        full = jnp.concatenate(
+            [O[gi * hout:(gi + 1) * hout] for gi in range(ng)],
+            axis=1) if ng > 1 else O                # (hout, ng*g*co)
+        return full[:, :wout * co]
 
-    bv = bv_ref[:]                                  # (5, 128) f32 bias rows
+    bv = bv_ref[:]                                  # (5, 768) f32 bias rows
 
-    # conv1: 1 -> 4, stride 1, groups of 32 output cols (window 34)
-    xp = jnp.pad(x, ((1, 1), (1, 1)))
-    x1 = conv(xp, wb1, bv[0], W // _G1, _G1, 34, 1, _G1 * 4, H,
+    # conv1: 1 -> 4, stride 1, groups of 128 output cols (window 130),
+    # tail group zero-padded when 128 does not divide W
+    ng1 = -(-W // _G1)
+    xp = jnp.pad(x, ((1, 1), (1, 1 + ng1 * 128 - W)))
+    x1 = conv(xp, wb1, bv[0, :_G1 * 4], ng1, _G1 + 2, 1, 4, W, H,
               stride=1)                             # (H, 4W)
 
     # conv2: 4 -> 8, stride 2, groups of 16 output cols (window 33)
     x1p = jnp.pad(x1, ((1, 1), (4, 4)))
-    x2 = conv(x1p, wb2, bv[1], (W // 2) // _G2, 128, 33, 4, _G2 * 8,
-              H // 2, stride=2)                     # (H/2, 8*(W/2))
+    x2 = conv(x1p, wb2, bv[1, :_G2 * 8], (W // 2) // _G2, 33, 4, 8,
+              W // 2, H // 2, stride=2)             # (H/2, 8*(W/2))
 
     # conv3: 8 -> 8, stride 1, groups of 16 (window 18)
     x2p = jnp.pad(x2, ((1, 1), (8, 8)))
-    x3 = conv(x2p, wb3, bv[2], (W // 2) // _G3, 128, 18, 8, _G3 * 8,
-              H // 2, stride=1)
+    x3 = conv(x2p, wb3, bv[2, :_G3 * 8], (W // 2) // _G3, 18, 8, 8,
+              W // 2, H // 2, stride=1)
 
-    # conv4: 8 -> 24, stride 2, groups of 4 (window 9)
+    # conv4: 8 -> 24, stride 2, groups of 8 (window 17)
     x3p = jnp.pad(x3, ((1, 1), (8, 8)))
-    x4 = conv(x3p, wb4, bv[3], (W // 4) // _G4, 64, 9, 8, _G4 * 24,
-              H // 4, stride=2)                     # (H/4, 24*(W/4))
+    x4 = conv(x3p, wb4, bv[3, :_G4 * 24], (W // 4) // _G4, 17, 8,
+              24, W // 4, H // 4, stride=2)         # (H/4, 24*(W/4))
 
-    # skip: rows pooled by strided adds, column pooling folded into wsk
+    # skip: rows pooled via a major-dim reshape sum, column pooling
+    # folded into wsk; groups of 32 pooled output cols = 128 input lanes
     H4, W4 = H // 4, W // 4
-    xr = (jax.lax.slice(x, (0, 0), (H - 3, W), (4, 1)) +
-          jax.lax.slice(x, (1, 0), (H - 2, W), (4, 1)) +
-          jax.lax.slice(x, (2, 0), (H - 1, W), (4, 1)) +
-          jax.lax.slice(x, (3, 0), (H, W), (4, 1)))     # (H/4, W)
-    ng4 = W4 // _G4
+    xr = x.reshape(H4, 4, W).sum(axis=1)            # (H/4, W)
+    ngs = -(-W4 // _GS)
+    xrp = jnp.pad(xr, ((0, 0), (0, ngs * 128 - W)))
     As = jnp.concatenate(
-        [jax.lax.slice(xr, (0, 16 * gi), (H4, 16 * gi + 16))
-         for gi in range(ng4)], axis=0)             # (ng4*H4, 16)
-    As = jnp.pad(As, ((0, 0), (0, 128 - 16)))
+        [jax.lax.slice(xrp, (0, 128 * gi), (H4, 128 * gi + 128))
+         for gi in range(ngs)], axis=0) if ngs > 1 else xrp  # (ngs*H4,128)
     Os = dot(As.astype(dt), wsk[:].astype(dt)) + bv[4]
-    skip = jnp.concatenate(
-        [Os[gi * H4:(gi + 1) * H4, :_G4 * 24] for gi in range(ng4)],
-        axis=1)                                     # (H/4, 24*(W/4))
+    skip = (jnp.concatenate(
+        [Os[gi * H4:(gi + 1) * H4] for gi in range(ngs)], axis=1)
+        if ngs > 1 else Os)[:, :W4 * 24]            # (H/4, 24*(W/4))
 
     out_ref[0] = (x4.astype(f32) + skip).astype(out_ref.dtype)
 
@@ -232,13 +236,13 @@ def _stem_call(xg, wb1, wb2, wb3, wb4, wsk, bv, interpret=False):
         in_specs=[
             pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(wb1.shape, lambda i: (0, 0),
+            pl.BlockSpec(wb1.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(wb2.shape, lambda i: (0, 0),
+            pl.BlockSpec(wb2.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(wb3.shape, lambda i: (0, 0),
+            pl.BlockSpec(wb3.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(wb4.shape, lambda i: (0, 0),
+            pl.BlockSpec(wb4.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(wsk.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -281,13 +285,14 @@ def stem_fused(params: Dict[str, Any], xg: jax.Array,
     wb3 = _banded(b1[2]["w"], _G3, 1, dt)
     wb4 = _banded(b1[3]["w"], _G4, 2, dt)
     wsk = _skip_mat(params["skip1"]["w"], dt)
+    BW = _GS * 24                                   # widest bias row (768)
     bv = jnp.stack([
-        jnp.pad(jnp.tile(b1[0]["b"], _G1), (0, 0)),
-        jnp.tile(b1[1]["b"], _G2),
-        jnp.tile(b1[2]["b"], _G3),
-        jnp.pad(jnp.tile(b1[3]["b"], _G4), (0, 128 - _G4 * 24)),
-        jnp.pad(jnp.tile(params["skip1"]["b"], _G4), (0, 128 - _G4 * 24)),
-    ]).astype(jnp.float32)                          # (5, 128)
+        jnp.pad(jnp.tile(b1[0]["b"], _G1), (0, BW - _G1 * 4)),
+        jnp.pad(jnp.tile(b1[1]["b"], _G2), (0, BW - _G2 * 8)),
+        jnp.pad(jnp.tile(b1[2]["b"], _G3), (0, BW - _G3 * 8)),
+        jnp.pad(jnp.tile(b1[3]["b"], _G4), (0, BW - _G4 * 24)),
+        jnp.tile(params["skip1"]["b"], _GS),
+    ]).astype(jnp.float32)                          # (5, 768)
     out = _stem_call(xg[..., 0], wb1, wb2, wb3, wb4, wsk, bv,
                      interpret=interpret)
     return out.reshape(B, H // 4, W // 4, 24)
