@@ -54,10 +54,13 @@ tested to tight f32 / loose bf16 tolerances in tests/test_stem_fused.py.
 
 ROUTING: wired into models/backbone.py behind
 `xfeat_forward(..., fused_stem=True)` / the XFEAT_FUSED_STEM env var
-(resolved at jit-construction in api.XFeat), DEFAULT OFF — the TPU
-tunnel was down when this was written, so on-chip timing is pending.
-Measure with `apps/measure_stem.py` and flip the default if the FULL
-pipeline is faster (docs/TPU_AGENDA.md step 2).
+(resolved at jit-construction in api.XFeat), DEFAULT OFF — measured
+on-chip in round 3 and the result is NEGATIVE: once compiled the
+kernel runs 6.1x SLOWER than the XLA stem (5.14 vs 0.836 ms/batch at
+256x512 b64 bf16), and Mosaic compile time grows ~quadratically with
+width (320 s at 256x512; 640x480 never finished in 25 min). Kept as a
+tested negative result; do not route. Full post-mortem in
+docs/DESIGN.md section 10a.
 """
 
 from __future__ import annotations
