@@ -184,6 +184,22 @@ class XFeat:
         (B,H,W,C) float in [0,1] (reference parse_input, xfeat.py:396-403,
         but NHWC). 3-D inputs whose last dim is a channel count (1/3/4) are
         single images; otherwise they are grayscale batches."""
+        x = self._parse_input_raw(x)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.float32) / 255.0
+        return x.astype(jnp.float32)
+
+    def _parse_input_raw(self, x: ArrayLike) -> jnp.ndarray:
+        """parse_input's shape/scale rules, but integer images stay in
+        their NATIVE dtype: the /255 normalization runs inside the jitted
+        pipelines (ops.resize.to_unit_float), so a uint8 frame crosses
+        host->device and is read from HBM at 1/4 the bytes of float32.
+        The keypoint selection is identical to the pre-normalized float
+        path; descriptors agree to float-reassociation tolerance (the
+        in-jit cast+scale fuses into neighboring ops, so XLA may reorder
+        reductions). Float inputs get the reference's
+        host-side range handling (0-255-range numpy floats are divided by
+        255; [0,1] floats and device arrays pass through)."""
         is_np = not isinstance(x, jax.Array)
         x = np.asarray(x) if is_np else x
         if x.ndim == 2:
@@ -193,9 +209,9 @@ class XFeat:
         if np.issubdtype(np.dtype(x.dtype), np.integer):
             # any integer image is 0-255 pixel data (uint16 cameras
             # included: the reference divides every numpy input by 255,
-            # xfeat.py:400-401)
-            x = jnp.asarray(x).astype(jnp.float32) / 255.0
-        elif is_np and np.issubdtype(x.dtype, np.floating) and \
+            # xfeat.py:400-401) — scaled on device by to_unit_float
+            return jnp.asarray(x)
+        if is_np and np.issubdtype(x.dtype, np.floating) and \
                 x.size and float(np.max(x)) > 1.5:
             # float numpy input in 0-255 range (e.g. cv2 image cast to
             # float): reference semantics divide it by 255 too; device
@@ -214,7 +230,7 @@ class XFeat:
         top_k = top_k or self.top_k
         thr = detection_threshold if detection_threshold is not None \
             else self.detection_threshold
-        x = self.parse_input(x)
+        x = self._parse_input_raw(x)
         out = self._dac_fn(top_k, thr)(self.params, x)
         out = jax.device_get(out)
         res = []
@@ -233,7 +249,7 @@ class XFeat:
                               ) -> Dict[str, np.ndarray]:
         """Semi-dense coarse extraction (reference xfeat.py:105-128)."""
         top_k = top_k or self.top_k
-        x = self.parse_input(x)
+        x = self._parse_input_raw(x)
         out = self._dacd_fn(top_k, multiscale)(self.params, x)
         return jax.device_get(out)
 
@@ -288,8 +304,8 @@ class XFeat:
         refinement (reference xfeat.py:188-217). Returns (mkpts0, mkpts1) for
         a single pair or a list of (N,4) arrays for batches."""
         top_k = top_k or self.top_k
-        x1 = self.parse_input(im_set1)
-        x2 = self.parse_input(im_set2)
+        x1 = self._parse_input_raw(im_set1)
+        x2 = self._parse_input_raw(im_set2)
         B = x1.shape[0]
 
         out1 = self._dacd_fn(top_k, True)(self.params, x1)

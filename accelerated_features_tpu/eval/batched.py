@@ -75,7 +75,11 @@ def extract_features_batched(params, records: Sequence[tuple],
             raise FileNotFoundError(path)
         if size_hw is not None and im.shape[:2] != tuple(size_hw):
             im = cv2.resize(im, (int(size_hw[1]), int(size_hw[0])))
-        return im.astype(np.float32) / 255.0
+        # keep uint8: /255 runs inside the jitted extraction
+        # (ops.resize.to_unit_float) exactly like the per-pair API path,
+        # so batched and sequential evals share one normalization program
+        # (and the host->device transfer is 1/4 the float32 bytes)
+        return im
 
     # fixed-size records: lazy per-chunk decode, grouped up front
     sized: Dict[tuple, list] = {}

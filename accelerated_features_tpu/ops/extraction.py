@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..models.backbone import xfeat_forward
 from .detect import dense_topk, heatmap_decode, score_map, topk_keypoints
-from .resize import preprocess_image, resize_bilinear
+from .resize import preprocess_image, resize_bilinear, to_unit_float
 from .sample import sample_bicubic, sample_bicubic_matmul
 
 
@@ -56,7 +56,7 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
     resolve the XFEAT_FUSED_STEM env var BEFORE tracing and pass it here
     (api.XFeat does), or the env read is frozen into the compiled program.
     """
-    x, rh, rw = preprocess_image(images)
+    x, rh, rw = preprocess_image(to_unit_float(images))
     H, W = x.shape[1], x.shape[2]
 
     feats, logits, heat = xfeat_forward(params, x, compute_dtype=compute_dtype,
@@ -116,7 +116,7 @@ def extract_dense(params: Dict[str, Any], images: jax.Array, top_k: int,
                   fused_stem: Optional[bool] = None):
     """Dense /8-grid coarse features, top-k by reliability
     (xfeat.py:356-377). Descriptors are raw (NOT L2-normalized)."""
-    x, rh, rw = preprocess_image(images)
+    x, rh, rw = preprocess_image(to_unit_float(images))
     feats, _, heat = xfeat_forward(params, x, compute_dtype=compute_dtype,
                                    fused_stem=fused_stem)
     b, h, w, c = feats.shape
@@ -139,6 +139,7 @@ def extract_dualscale(params: Dict[str, Any], images: jax.Array, top_k: int,
     """Two-scale coarse extraction (xfeat.py:379-394): 20% of the budget at
     0.6x, 80% at 1.3x, keypoints mapped back to input coords, per-keypoint
     extraction scale recorded for the refinement step."""
+    images = to_unit_float(images)
     h, w = images.shape[1], images.shape[2]
     x1 = resize_bilinear(images, (math.floor(h * s1), math.floor(w * s1)))
     x2 = resize_bilinear(images, (math.floor(h * s2), math.floor(w * s2)))

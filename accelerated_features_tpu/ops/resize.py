@@ -16,6 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
+def to_unit_float(x: jax.Array) -> jax.Array:
+    """Device-side pixel normalization: integer images -> float32 / 255
+    (the reference's host-side `parse_input` /255, xfeat.py:400-401, moved
+    inside the jitted program so uint8 frames cross host->device and HBM
+    at 1/4 the bytes of float32); float images pass through as float32.
+    Idempotent — safe at every raw-image entry point."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.float32) / 255.0
+    return x.astype(jnp.float32)
+
+
 def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """(B, H, W, C) -> (B, h, w, C), half-pixel bilinear (anti-alias off,
     like torch)."""

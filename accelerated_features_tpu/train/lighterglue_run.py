@@ -28,6 +28,11 @@ import os
 import time
 from typing import Any, Dict, Optional
 
+# Persistent compile cache (see train/run.py): chunked/resumed runs must
+# not re-pay the train-step compile. Set before the first jax import.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
 import numpy as np
 
 import jax

@@ -24,6 +24,12 @@ import signal
 import time
 from typing import Dict, Iterator, Optional
 
+# Persistent compile cache: the sharded train step is a large program
+# (~20 min first compile via the TPU relay); chunked/resumed runs must
+# not re-pay it. Must be set before the first jax import in-process.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
 import numpy as np
 
 import jax

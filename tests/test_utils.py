@@ -77,6 +77,54 @@ def test_parse_input_dtype_scaling():
         == (5, 64, 96, 1)
 
 
+def test_parse_input_raw_keeps_integer_dtype():
+    """_parse_input_raw keeps integer images in their native dtype (the
+    /255 runs inside the jitted pipeline via ops.resize.to_unit_float, so
+    uint8 frames cross host->device at 1/4 the float32 bytes); float
+    handling matches parse_input."""
+    from accelerated_features_tpu.api import XFeat
+    from accelerated_features_tpu.ops.resize import to_unit_float
+    xf = XFeat(weights=None)
+    img8 = np.arange(64 * 96 * 3, dtype=np.uint8).reshape(64, 96, 3)
+    raw = xf._parse_input_raw(img8)
+    assert raw.dtype == jnp.uint8 and raw.shape == (1, 64, 96, 3)
+    # device-side normalization == the public parse_input result, exactly
+    np.testing.assert_array_equal(np.asarray(to_unit_float(raw)),
+                                  np.asarray(xf.parse_input(img8)))
+    # 0-255-range float numpy still normalizes host-side
+    rawf = xf._parse_input_raw(img8.astype(np.float64))
+    assert rawf.dtype == jnp.float32 and float(np.max(np.asarray(rawf))) <= 1.0
+
+
+def test_detect_and_compute_uint8_equals_float():
+    """End-to-end: uint8 input through the device-side /255 selects the
+    SAME keypoints as the pre-normalized float path, with descriptors
+    equal to float-reassociation tolerance (the in-jit cast+scale fuses
+    into neighboring ops, so XLA may reorder reductions — bit-identity
+    is not guaranteed under jit, set-identity of the selection is)."""
+    from accelerated_features_tpu.api import XFeat
+    rng = np.random.default_rng(3)
+    img8 = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    xf = XFeat(weights=None, top_k=64, detection_threshold=0.012)
+    out_u8 = xf.detectAndCompute(img8)[0]
+    out_f32 = xf.detectAndCompute(img8.astype(np.float32) / 255.0)[0]
+
+    # compare as SETS: exactly-tied scores may swap top-k order under the
+    # ~1e-9 score noise (measured on assets/ref.png: 2/1024 rows swapped,
+    # Jaccard of the keypoint sets 1.0)
+    def order(out):
+        idx = np.lexsort(out["keypoints"].T)
+        return idx
+    iu, if_ = order(out_u8), order(out_f32)
+    np.testing.assert_array_equal(out_u8["keypoints"][iu],
+                                  out_f32["keypoints"][if_])
+    np.testing.assert_allclose(out_u8["descriptors"][iu],
+                               out_f32["descriptors"][if_], atol=2e-3)
+    # and the semi-dense front end accepts uint8 too
+    dense = xf.detectAndComputeDense(img8, top_k=64)
+    assert dense["keypoints"].shape[0] == 1
+
+
 def test_restore_checkpoint_npz_key_pairing(tmp_path):
     """npz restore must pair leaves BY KEY PATH, not by positional zip of
     two differently-ordered flattenings (jax.tree.flatten sorts dict keys;
