@@ -177,6 +177,13 @@ class XFeat:
             lambda: jax.jit(functools.partial(refine_matches,
                                               fine_conf=fine_conf)))
 
+    def set_params(self, weights: Optional[Union[str, dict]]) -> None:
+        """Swap the model parameters in place (same formats as __init__).
+        The cached jitted programs take params as a call argument, so
+        swapping does NOT recompile — useful for checkpoint sweeps where
+        a compile is expensive (e.g. the remote-relay dev environment)."""
+        self.params = load_params(weights)
+
     # ---------------- input handling ----------------------------------------
 
     def parse_input(self, x: ArrayLike) -> jnp.ndarray:

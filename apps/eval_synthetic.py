@@ -64,7 +64,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=str, required=True)
     ap.add_argument("--ckpt", type=str, default=None,
-                    help="training checkpoint dir/file; None = random init")
+                    help="training checkpoint dir/file; None = random "
+                         "init. Comma-separated list sweeps several "
+                         "checkpoints in ONE process (the jitted programs "
+                         "are reused across checkpoints — params are call "
+                         "arguments; see XFeat.set_params). The literal "
+                         "'random' evaluates random init as a sweep row.")
     ap.add_argument("--pairs", type=int, default=100)
     ap.add_argument("--top_k", type=int, default=2048)
     ap.add_argument("--detection_threshold", type=float, default=None,
@@ -84,15 +89,24 @@ def main():
     from accelerated_features_tpu import XFeat
     from accelerated_features_tpu.geometry import estimate_homography
 
-    params = None
-    if args.ckpt:
+    ckpts = [c.strip() for c in args.ckpt.split(",")] if args.ckpt \
+        else [None]
+    ckpts = [None if c in ("", "random") else c for c in ckpts]
+
+    def ckpt_params(ckpt):
+        if ckpt is None:
+            return None
         from accelerated_features_tpu.utils.checkpoint import (
             load_params_from_checkpoint)
-        params = load_params_from_checkpoint(args.ckpt)
-    thr = args.detection_threshold
-    if thr is None:
-        thr = 0.05 if args.ckpt else 0.012
-    xf = XFeat(weights=params, top_k=args.top_k, detection_threshold=thr)
+        return load_params_from_checkpoint(ckpt)
+
+    def ckpt_thr(ckpt):
+        if args.detection_threshold is not None:
+            return args.detection_threshold
+        return 0.05 if ckpt else 0.012
+
+    xf = XFeat(weights=ckpt_params(ckpts[0]), top_k=args.top_k,
+               detection_threshold=ckpt_thr(ckpts[0]))
 
     if args.matcher == "lighterglue":
         if not args.lg_weights:
@@ -122,56 +136,67 @@ def main():
                    glob.glob(os.path.join(args.images, "*.jpg")))
     if not paths:
         raise FileNotFoundError(args.images)
-    rng = np.random.default_rng(args.seed)
 
-    prec, nm, mace, ok = [], [], [], 0
-    for i in range(args.pairs):
-        path = paths[i % len(paths)]
-        im0 = cv2.imread(path)
-        if im0 is None:
-            print(f"[eval_synthetic] unreadable image skipped: {path}")
-            prec.append(0.0)
-            nm.append(0)
-            continue
-        h, w = im0.shape[:2]
-        H_gt = gt_homography(rng, w, h)
-        im1 = cv2.warpPerspective(im0, H_gt, (w, h))
-        mk0, mk1 = run_matcher(im0, im1)
-        nm.append(len(mk0))
-        if len(mk0) >= 4:
-            ph = np.concatenate([mk0, np.ones((len(mk0), 1))], 1) @ H_gt.T
-            proj = ph[:, :2] / ph[:, 2:]
-            err = np.linalg.norm(proj - mk1, axis=1)
-            prec.append(float(np.mean(err < 3.0)))
-            res = estimate_homography(mk0, mk1, thresh=4.0)
-            if res is not None:
-                ok += 1
-                mace.append(corner_error(res[0], H_gt, w, h))
-        else:
-            prec.append(0.0)
+    def eval_one(ckpt):
+        # same seed per checkpoint: every row sees the SAME pair set
+        rng = np.random.default_rng(args.seed)
+        prec, nm, mace, ok = [], [], [], 0
+        for i in range(args.pairs):
+            path = paths[i % len(paths)]
+            im0 = cv2.imread(path)
+            if im0 is None:
+                print(f"[eval_synthetic] unreadable image skipped: {path}")
+                prec.append(0.0)
+                nm.append(0)
+                continue
+            h, w = im0.shape[:2]
+            H_gt = gt_homography(rng, w, h)
+            im1 = cv2.warpPerspective(im0, H_gt, (w, h))
+            mk0, mk1 = run_matcher(im0, im1)
+            nm.append(len(mk0))
+            if len(mk0) >= 4:
+                ph = np.concatenate([mk0, np.ones((len(mk0), 1))], 1) @ H_gt.T
+                proj = ph[:, :2] / ph[:, 2:]
+                err = np.linalg.norm(proj - mk1, axis=1)
+                prec.append(float(np.mean(err < 3.0)))
+                res = estimate_homography(mk0, mk1, thresh=4.0)
+                if res is not None:
+                    ok += 1
+                    mace.append(corner_error(res[0], H_gt, w, h))
+            else:
+                prec.append(0.0)
 
-    mace_arr = np.asarray(mace) if mace else np.asarray([1e9])
-    # shared AUC implementation (eval/metrics.py); pairs with no
-    # homography count as infinite error
-    from accelerated_features_tpu.eval.metrics import error_auc
-    errors_full = list(mace) + [np.inf] * (args.pairs - len(mace))
-    a = error_auc(errors_full, thresholds=(3, 5, 10))
-    aucs = {f"h_auc@{t}px": a[f"auc@{t}"] for t in (3, 5, 10)}
+        mace_arr = np.asarray(mace) if mace else np.asarray([1e9])
+        # shared AUC implementation (eval/metrics.py); pairs with no
+        # homography count as infinite error
+        from accelerated_features_tpu.eval.metrics import error_auc
+        errors_full = list(mace) + [np.inf] * (args.pairs - len(mace))
+        a = error_auc(errors_full, thresholds=(3, 5, 10))
+        aucs = {f"h_auc@{t}px": a[f"auc@{t}"] for t in (3, 5, 10)}
+        return {
+            "ckpt": ckpt or "random-init",
+            "matcher": args.matcher,
+            "pairs": args.pairs,
+            "detection_threshold": xf.detection_threshold,
+            "mean_matches": float(np.mean(nm)),
+            "precision@3px": float(np.mean(prec)),
+            "homography_success": ok / args.pairs,
+            "mace_median_px": float(np.median(mace_arr)),
+            **aucs,
+        }
 
-    out = {
-        "ckpt": args.ckpt or "random-init",
-        "matcher": args.matcher,
-        "pairs": args.pairs,
-        "mean_matches": float(np.mean(nm)),
-        "precision@3px": float(np.mean(prec)),
-        "homography_success": ok / args.pairs,
-        "mace_median_px": float(np.median(mace_arr)),
-        **aucs,
-    }
-    print(json.dumps(out, indent=2))
+    results = []
+    for j, ckpt in enumerate(ckpts):
+        if j > 0:     # first checkpoint was loaded at construction
+            xf.set_params(ckpt_params(ckpt))
+            xf.detection_threshold = ckpt_thr(ckpt)
+        out = eval_one(ckpt)
+        print(json.dumps(out, indent=2), flush=True)
+        results.append(out)
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(out, f, indent=2)
+            json.dump(results if len(results) > 1 else results[0], f,
+                      indent=2)
 
 
 if __name__ == "__main__":

@@ -125,6 +125,22 @@ def test_detect_and_compute_uint8_equals_float():
     assert dense["keypoints"].shape[0] == 1
 
 
+def test_set_params_swaps_without_recompile():
+    """XFeat.set_params replaces weights in place; the cached jitted
+    programs take params as call arguments, so the jit cache must not
+    grow (checkpoint sweeps rely on this to avoid re-paying compiles)."""
+    from accelerated_features_tpu.api import XFeat
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    xf = XFeat(weights=None, top_k=32, detection_threshold=0.012)
+    img = np.random.default_rng(0).integers(0, 256, (64, 96, 3), np.uint8)
+    out1 = xf.detectAndCompute(img)[0]
+    n_cached = len(xf._jitted)
+    xf.set_params(init_xfeat_params(jax.random.key(42)))
+    out2 = xf.detectAndCompute(img)[0]
+    assert len(xf._jitted) == n_cached
+    assert not np.array_equal(out1["descriptors"][:8], out2["descriptors"][:8])
+
+
 def test_restore_checkpoint_npz_key_pairing(tmp_path):
     """npz restore must pair leaves BY KEY PATH, not by positional zip of
     two differently-ordered flattenings (jax.tree.flatten sorts dict keys;
