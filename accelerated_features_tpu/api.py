@@ -194,7 +194,7 @@ class XFeat:
         x = self._parse_input_raw(x)
         if jnp.issubdtype(x.dtype, jnp.integer):
             x = x.astype(jnp.float32) / 255.0
-        return x.astype(jnp.float32)
+        return jnp.asarray(x, dtype=jnp.float32)
 
     def _parse_input_raw(self, x: ArrayLike) -> jnp.ndarray:
         """parse_input's shape/scale rules, but integer images stay in
@@ -216,8 +216,11 @@ class XFeat:
         if np.issubdtype(np.dtype(x.dtype), np.integer):
             # any integer image is 0-255 pixel data (uint16 cameras
             # included: the reference divides every numpy input by 255,
-            # xfeat.py:400-401) — scaled on device by to_unit_float
-            return jnp.asarray(x)
+            # xfeat.py:400-401) — scaled on device by to_unit_float.
+            # numpy stays host-side here: the jit call transfers it once
+            # (host threads like serve.py's handler must not round-trip
+            # pixels through the device just to shape-normalize them)
+            return x if isinstance(x, jax.Array) else np.ascontiguousarray(x)
         if is_np and np.issubdtype(x.dtype, np.floating) and \
                 x.size and float(np.max(x)) > 1.5:
             # float numpy input in 0-255 range (e.g. cv2 image cast to

@@ -61,7 +61,8 @@ class _Request:
 
     @property
     def key(self):
-        return (self.kind, tuple(im.shape for im in self.images),
+        return (self.kind,
+                tuple((im.shape, str(im.dtype)) for im in self.images),
                 self.top_k, self.threshold)
 
 
@@ -85,11 +86,18 @@ class InferenceService:
 
     def submit(self, kind: str, images, top_k=None, threshold=None,
                timeout: float = 60.0):
-        # images are normalized HERE (handler thread, host-side numpy) so a
-        # batch never mixes dtypes/scales: parse_input resolves uint8/0-255
-        # semantics per image, and the device thread stacks float32 [0,1]
-        images = tuple(np.asarray(self.xfeat.parse_input(im))[0]
-                       for im in images)
+        # images are shape/scale-normalized HERE (handler thread, host-side
+        # numpy) so the device thread only stacks. Integer images stay in
+        # their native dtype (the /255 runs inside the jitted pipeline —
+        # 1/4 the host->device bytes for uint8); floats are normalized to
+        # [0,1] float32. Buckets key on (shape, dtype), so a batch never
+        # mixes scales.
+        def _norm(im):
+            arr = np.asarray(im)
+            if np.issubdtype(arr.dtype, np.integer):
+                return np.asarray(self.xfeat._parse_input_raw(arr))[0]
+            return np.asarray(self.xfeat.parse_input(arr))[0]
+        images = tuple(_norm(im) for im in images)
         req = _Request(kind, images, top_k, threshold)
         self.queue.put(req)
         if not req.event.wait(timeout):
