@@ -159,11 +159,18 @@ def main(argv=None):
         print(f"[resume] from step {start}")
 
     @jax.jit
-    def make_batch(key, images):
+    def make_batch(key, pool, idx):
+        # device-resident uint8 pool: per-step transfer is (key, idx) only
+        # (the relay client leaks transfer buffers — see train/run.py
+        # SyntheticBatcher.gen — and full f32 batches OOM long runs)
+        from ..ops.resize import to_unit_float
+        images = to_unit_float(pool[idx])
         k1, k2 = jax.random.split(key)
         pair = make_pair(k1, images, cfg, args.difficulty, tps_prob=0.7)
         return build_lg_batch(xfeat_params, pair, cfg, args.top_k, thr,
                               key=k2)
+
+    pool_dev = jnp.asarray(source.pool_u8())
 
     @jax.jit
     def step_fn(state, batch):
@@ -179,8 +186,10 @@ def main(argv=None):
     t0 = time.time()
     for i in range(start, args.n_steps):
         key, sub = jax.random.split(key)
-        images = jnp.asarray(source.sample_batch(args.batch_size))
-        batch = make_batch(sub, images)
+        idx, changed = source.sample_indices(args.batch_size)
+        if changed:
+            pool_dev = jnp.asarray(source.pool_u8())
+        batch = make_batch(sub, pool_dev, jnp.asarray(idx))
         state, loss, metrics = step_fn(state, batch)
         if (i + 1) % args.save_ckpt_every == 0:
             path = save_checkpoint(args.ckpt_save_path,

@@ -234,11 +234,32 @@ class ImageFolderSource:
                 continue
             if im.shape[0] > im.shape[1]:
                 im = np.rot90(im)  # landscape (reference augmentation.py:160)
-            self.pool.append(cv2.resize(im, (W, H)).astype(np.float32) / 255.0)
+            # pool stays uint8 (1/4 the float32 host memory); consumers
+            # normalize on use (sample_batch) or on device (pool_u8 +
+            # ops.resize.to_unit_float)
+            self.pool.append(np.ascontiguousarray(cv2.resize(im, (W, H))))
+
+    def sample_indices(self, n: int) -> Tuple[np.ndarray, bool]:
+        """Draw n pool indices; returns (indices, pool_changed). The pool
+        only actually changes on reload when there are more files on disk
+        than pool slots — otherwise a reload is a pure reshuffle of the
+        same images and device-resident copies stay valid."""
+        self._count += 1
+        changed = False
+        if self._count % self.reload_step == 0:
+            if len(self.all_paths) > len(self.pool):
+                self._load()
+                changed = True
+        idx = np.asarray([self.rng.randrange(len(self.pool))
+                          for _ in range(n)], np.int32)
+        return idx, changed
+
+    def pool_u8(self) -> np.ndarray:
+        """(N, H, W, 3) uint8 stack of the whole pool — for device-resident
+        sampling (ship the pool to HBM once, then per-step transfers are
+        just indices; see SyntheticBatcher)."""
+        return np.stack(self.pool)
 
     def sample_batch(self, n: int) -> np.ndarray:
-        self._count += 1
-        if self._count % self.reload_step == 0:
-            self._load()
-        idx = [self.rng.randrange(len(self.pool)) for _ in range(n)]
-        return np.stack([self.pool[i] for i in idx])
+        idx, _ = self.sample_indices(n)
+        return np.stack([self.pool[i] for i in idx]).astype(np.float32) / 255.0

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.params import init_xfeat_params
+from ..ops.resize import to_unit_float
 from ..parallel.mesh import make_mesh
 from ..utils.checkpoint import resume_or_init, save_checkpoint
 from .augmentation import (AugConfig, make_pair, pair_correspondences,
@@ -86,7 +87,15 @@ class SyntheticBatcher:
         self.difficulty = difficulty
         self._key = jax.random.key(0)
 
-        def gen(key, images):
+        def gen(key, pool, idx):
+            # images gathered from the DEVICE-RESIDENT uint8 pool: the
+            # per-step host->device transfer is just (key, idx) — a few
+            # bytes. This matters doubly here: the dev environment's
+            # remote-relay client leaks every transfer buffer (~59 MB
+            # retained per step when full f32 batches were shipped, OOM
+            # at ~2200 steps), and even healthy runtimes save the 58
+            # MB/step of PCIe/relay traffic.
+            images = to_unit_float(pool[idx])
             k1, k2, k3 = jax.random.split(key, 3)
             pair = make_pair(k1, images, cfg, difficulty, tps_prob=0.7)
             corrs, mask = pair_correspondences(pair, cfg)
@@ -103,11 +112,14 @@ class SyntheticBatcher:
                     "corr_full_valid": cf_mask}
 
         self._gen = jax.jit(gen)
+        self._pool_dev = None
 
     def next(self) -> Dict[str, jax.Array]:
         self._key, sub = jax.random.split(self._key)
-        images = jnp.asarray(self.source.sample_batch(self.batch_size))
-        return self._gen(sub, images)
+        idx, changed = self.source.sample_indices(self.batch_size)
+        if self._pool_dev is None or changed:
+            self._pool_dev = jnp.asarray(self.source.pool_u8())
+        return self._gen(sub, self._pool_dev, jnp.asarray(idx))
 
 
 class MegaDepthBatcher:

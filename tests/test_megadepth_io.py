@@ -90,3 +90,67 @@ def test_read_bytes_local(tmp_path):
     p = tmp_path / "x.bin"
     p.write_bytes(b"hello")
     assert md.read_bytes(str(p)) == b"hello"
+
+
+def test_image_folder_source_device_pool(tmp_path):
+    """ImageFolderSource keeps a uint8 pool; sample_indices drives the
+    device-resident sampling path (SyntheticBatcher ships the pool to HBM
+    once and per-step transfers are just indices — the full-f32-batch
+    path leaked ~58 MB/step through the relay client and OOMed long
+    training runs); sample_batch stays the normalized f32 [0,1] batch."""
+    import cv2
+
+    from accelerated_features_tpu.train.megadepth import ImageFolderSource
+
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        cv2.imwrite(str(tmp_path / f"im_{i:02d}.png"),
+                    rng.integers(0, 255, (40, 64, 3)).astype(np.uint8))
+    src = ImageFolderSource(str(tmp_path), resolution=(64, 48),
+                            max_num_imgs=12, reload_step=5)
+    pool = src.pool_u8()
+    assert pool.dtype == np.uint8 and pool.shape == (12, 48, 64, 3)
+
+    idx, changed = src.sample_indices(4)
+    assert idx.shape == (4,) and idx.dtype == np.int32 and not changed
+    assert idx.max() < 12
+
+    # reloads that cannot change the pool (all files already loaded) must
+    # report unchanged so the device copy is not re-shipped
+    for _ in range(10):
+        _, changed = src.sample_indices(4)
+        assert not changed
+
+    # f32 convenience path: normalized, equal to the pool rows
+    b = src.sample_batch(3)
+    assert b.dtype == np.float32 and b.max() <= 1.0 and b.shape[1:] == (48, 64, 3)
+
+
+def test_synthetic_batcher_device_pool(tmp_path):
+    """SyntheticBatcher.next() produces the full fixed-shape training batch
+    from the device pool + indices (no per-step image upload)."""
+    import cv2
+
+    import jax.numpy as jnp
+    from accelerated_features_tpu.train.augmentation import AugConfig
+    from accelerated_features_tpu.train.megadepth import ImageFolderSource
+    from accelerated_features_tpu.train.run import SyntheticBatcher
+
+    rng = np.random.default_rng(1)
+    for i in range(10):
+        cv2.imwrite(str(tmp_path / f"im_{i:02d}.png"),
+                    rng.integers(0, 255, (80, 100, 3)).astype(np.uint8))
+    cfg = AugConfig(warp_resolution=(64, 64), out_resolution=(64, 64))
+    sb = SyntheticBatcher(
+        ImageFolderSource(str(tmp_path), resolution=(64, 64)),
+        cfg, batch_size=2, max_corrs=64)
+    batch = sb.next()
+    assert batch["image0"].shape == (2, 64, 64, 1)
+    assert batch["image0"].dtype == jnp.float32
+    assert batch["corrs"].shape == (2, 64, 4)
+    assert bool(jnp.all(batch["image0"] >= -1e-6))
+    assert float(jnp.max(batch["image0"])) <= 1.0
+    # second draw reuses the device pool object
+    pool_ref = sb._pool_dev
+    sb.next()
+    assert sb._pool_dev is pool_ref
