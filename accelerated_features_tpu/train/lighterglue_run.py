@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import time
 from typing import Any, Dict, Optional
 
@@ -182,6 +183,18 @@ def main(argv=None):
                "opt_state": opt_state, "step": state["step"] + 1}
         return new, loss, metrics
 
+    # preemption safety (same contract as train/run.py): on SIGTERM/SIGINT,
+    # checkpoint at the next step boundary and exit cleanly so a driver
+    # kill never loses more than one step
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"[signal {signum}] checkpoint-and-exit requested", flush=True)
+
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
+
     key = jax.random.key(start + 1)
     t0 = time.time()
     for i in range(start, args.n_steps):
@@ -191,10 +204,14 @@ def main(argv=None):
             pool_dev = jnp.asarray(source.pool_u8())
         batch = make_batch(sub, pool_dev, jnp.asarray(idx))
         state, loss, metrics = step_fn(state, batch)
-        if (i + 1) % args.save_ckpt_every == 0:
+        if (i + 1) % args.save_ckpt_every == 0 or stop_requested["flag"]:
             path = save_checkpoint(args.ckpt_save_path,
                                    jax.device_get(state), i + 1)
             print(f"[ckpt] step {i + 1} -> {path}")
+        if stop_requested["flag"]:
+            print(f"[preempt] state saved at step {i + 1}; exiting "
+                  "(resume with the same --ckpt_save_path)", flush=True)
+            return
         if (i + 1) % 10 == 0:
             rate = (i + 1 - start) / (time.time() - t0)
             m = {k: float(v) for k, v in metrics.items()}
