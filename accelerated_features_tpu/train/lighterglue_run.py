@@ -152,8 +152,12 @@ def main(argv=None):
 
     params = init_lighterglue_params(jax.random.key(0), DEFAULT_CONF)
     opt = optax.adam(args.lr)
+    # step must be an array (same convention as trainer.init_train_state):
+    # orbax's StandardCheckpointer rejects numpy SCALARS (np.int64) as
+    # restore-target leaves, which broke resume of saved LG checkpoints.
+    # int32 also matches what a saved post-jit state contains.
     state = {"params": params, "opt_state": opt.init(params),
-             "step": np.int64(0)}
+             "step": jnp.zeros((), jnp.int32)}
     state, resumed = resume_or_init(args.ckpt_save_path, state)
     start = int(state["step"])
     if resumed:

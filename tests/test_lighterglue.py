@@ -208,6 +208,37 @@ def test_lighterglue_loads_training_checkpoint_dir(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_lg_train_state_orbax_resume_roundtrip(tmp_path):
+    """Regression: the LG trainer's state dict must round-trip through the
+    ORBAX checkpoint path via resume_or_init. The original init used a
+    numpy SCALAR (np.int64) for `step`, which orbax's StandardCheckpointer
+    rejects as a restore-target leaf ('Unsupported type') — resume of any
+    saved LG run failed. The trainer now uses an int32 array like
+    trainer.init_train_state."""
+    import optax
+
+    from accelerated_features_tpu.utils.checkpoint import (resume_or_init,
+                                                           save_checkpoint)
+
+    params = init_lighterglue_params(jax.random.key(4))
+    opt = optax.adam(1e-4)
+    # exactly the state dict lighterglue_run.main builds
+    state = {"params": params, "opt_state": opt.init(params),
+             "step": jnp.zeros((), jnp.int32)}
+    saved = dict(state, step=state["step"] + 7)
+    save_checkpoint(str(tmp_path), jax.device_get(saved), 7)
+
+    fresh = {"params": init_lighterglue_params(jax.random.key(5)),
+             "opt_state": opt.init(params),
+             "step": jnp.zeros((), jnp.int32)}
+    restored, resumed = resume_or_init(str(tmp_path), fresh)
+    assert resumed
+    assert int(restored["step"]) == 7
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lg_batch_gt_from_warp(monkeypatch):
     """build_lg_batch derives correct GT assignments from the analytic
     warp: with a stubbed extractor that returns exact correspondences
