@@ -52,7 +52,7 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
-from ..sample import _cubic_weights, _source_coords
+from ..ops.sample import _cubic_weights, _source_coords
 
 
 def _sampler_kernel(f2_ref, sy_ref, wx_ref, x0_ref, out_ref, *, c: int,

@@ -304,7 +304,7 @@ def stem_fused(params: Dict[str, Any], xg: jax.Array,
 def stem_reference(params: Dict[str, Any], xg: jax.Array) -> jax.Array:
     """XLA stem (models/backbone.py:173-177) for parity tests: block1 on
     the normalized gray input plus the avgpool4 + 1x1 skip."""
-    from ...models.backbone import _block, conv2d
+    from ..models.backbone import _block, conv2d
     x1 = _block(params["block1"], xg, "block1", False, None)
     skip = jax.lax.reduce_window(
         xg, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID") / 16.0

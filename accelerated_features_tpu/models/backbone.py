@@ -161,7 +161,7 @@ def xfeat_forward(params: Dict[str, Any], x: jax.Array, *, train: bool = False,
       train: use batch statistics in BN and return them for running updates.
       compute_dtype: bfloat16 for TPU inference throughput, float32 for parity.
       fused_stem: route input_norm output through the fused Pallas stem
-        kernel (ops/pallas/stem.py; inference + folded BN only). Default
+        kernel (experiments/stem.py; inference + folded BN only). Default
         comes from the XFEAT_FUSED_STEM env var — off until the kernel is
         measured faster on-chip (see STATUS.md).
 
@@ -187,7 +187,7 @@ def xfeat_forward(params: Dict[str, Any], x: jax.Array, *, train: bool = False,
             "BatchNorm folded into conv biases "
             "(models.params.fold_batchnorm)")
     if fused_stem and not train and folded:
-        from ..ops.pallas.stem import stem_fused
+        from ..experiments.stem import stem_fused
         stem_out = stem_fused(params, x)
     else:
         x1 = _block(params["block1"], x, "block1", train, stats)

@@ -34,10 +34,19 @@ from typing import Any, Dict, Optional
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.jax_cache"))
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
+
+
+def init_lg_train_state(params, opt):
+    """LighterGlue train state. `step` must be an ARRAY (not a numpy
+    scalar): orbax's StandardCheckpointer rejects numpy scalars
+    (np.int64) as restore-target leaves, which broke resume of saved LG
+    checkpoints; int32 also matches what a saved post-jit state contains.
+    Shared by main() and tests so the contract is guarded where it
+    lives."""
+    return {"params": params, "opt_state": opt.init(params),
+            "step": jnp.zeros((), jnp.int32)}
 
 
 def build_lg_batch(xfeat_params: Dict[str, Any], pair: Dict[str, jax.Array],
@@ -152,12 +161,7 @@ def main(argv=None):
 
     params = init_lighterglue_params(jax.random.key(0), DEFAULT_CONF)
     opt = optax.adam(args.lr)
-    # step must be an array (same convention as trainer.init_train_state):
-    # orbax's StandardCheckpointer rejects numpy SCALARS (np.int64) as
-    # restore-target leaves, which broke resume of saved LG checkpoints.
-    # int32 also matches what a saved post-jit state contains.
-    state = {"params": params, "opt_state": opt.init(params),
-             "step": jnp.zeros((), jnp.int32)}
+    state = init_lg_train_state(params, opt)
     state, resumed = resume_or_init(args.ckpt_save_path, state)
     start = int(state["step"])
     if resumed:
@@ -196,40 +200,47 @@ def main(argv=None):
         stop_requested["flag"] = True
         print(f"[signal {signum}] checkpoint-and-exit requested", flush=True)
 
-    signal.signal(signal.SIGTERM, _request_stop)
-    signal.signal(signal.SIGINT, _request_stop)
+    # save + restore the previous handlers so library callers (tests,
+    # drivers invoking main(argv=...)) keep their process-global handlers
+    prev_term = signal.signal(signal.SIGTERM, _request_stop)
+    prev_int = signal.signal(signal.SIGINT, _request_stop)
 
     key = jax.random.key(start + 1)
     t0 = time.time()
-    for i in range(start, args.n_steps):
-        key, sub = jax.random.split(key)
-        idx, changed = source.sample_indices(args.batch_size)
-        if changed:
-            pool_dev = jnp.asarray(source.pool_u8())
-        batch = make_batch(sub, pool_dev, jnp.asarray(idx))
-        state, loss, metrics = step_fn(state, batch)
-        if (i + 1) % args.save_ckpt_every == 0 or stop_requested["flag"]:
-            path = save_checkpoint(args.ckpt_save_path,
-                                   jax.device_get(state), i + 1)
-            print(f"[ckpt] step {i + 1} -> {path}")
-        if stop_requested["flag"]:
-            print(f"[preempt] state saved at step {i + 1}; exiting "
-                  "(resume with the same --ckpt_save_path)", flush=True)
-            return
-        if (i + 1) % 10 == 0:
-            rate = (i + 1 - start) / (time.time() - t0)
-            m = {k: float(v) for k, v in metrics.items()}
-            n_gt = float(jnp.sum(batch["gt_valid"])) / len(batch["gt_valid"])
-            print(f"step {i + 1} loss {float(loss):.4f} "
-                  f"match_acc {m.get('match_acc', 0):.3f} "
-                  f"gt/pair {n_gt:.0f} ({rate:.2f} it/s)", flush=True)
-    final_step = int(state["step"])
-    if final_step > start and final_step % args.save_ckpt_every != 0:
-        # label with the ACTUAL step (n_steps would mislabel a resumed or
-        # already-finished run); skip if the loop just saved this step
-        save_checkpoint(args.ckpt_save_path, jax.device_get(state),
-                        final_step)
-    print("done")
+    try:
+        for i in range(start, args.n_steps):
+            key, sub = jax.random.split(key)
+            idx, changed = source.sample_indices(args.batch_size)
+            if changed:
+                pool_dev = jnp.asarray(source.pool_u8())
+            batch = make_batch(sub, pool_dev, jnp.asarray(idx))
+            state, loss, metrics = step_fn(state, batch)
+            if (i + 1) % args.save_ckpt_every == 0 or stop_requested["flag"]:
+                path = save_checkpoint(args.ckpt_save_path,
+                                       jax.device_get(state), i + 1)
+                print(f"[ckpt] step {i + 1} -> {path}")
+            if stop_requested["flag"]:
+                print(f"[preempt] state saved at step {i + 1}; exiting "
+                      "(resume with the same --ckpt_save_path)", flush=True)
+                return
+            if (i + 1) % 10 == 0:
+                rate = (i + 1 - start) / (time.time() - t0)
+                m = {k: float(v) for k, v in metrics.items()}
+                n_gt = float(jnp.sum(batch["gt_valid"])) / len(
+                    batch["gt_valid"])
+                print(f"step {i + 1} loss {float(loss):.4f} "
+                      f"match_acc {m.get('match_acc', 0):.3f} "
+                      f"gt/pair {n_gt:.0f} ({rate:.2f} it/s)", flush=True)
+        final_step = int(state["step"])
+        if final_step > start and final_step % args.save_ckpt_every != 0:
+            # label with the ACTUAL step (n_steps would mislabel a resumed
+            # or already-finished run); skip if the loop just saved it
+            save_checkpoint(args.ckpt_save_path, jax.device_get(state),
+                            final_step)
+        print("done")
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
 
 
 if __name__ == "__main__":

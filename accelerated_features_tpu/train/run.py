@@ -320,14 +320,18 @@ def main():
         stop_requested["flag"] = True
         print(f"[signal {signum}] checkpoint-and-exit requested")
 
-    signal.signal(signal.SIGTERM, _request_stop)
-    signal.signal(signal.SIGINT, _request_stop)
+    # save + restore the previous handlers so library callers (tests,
+    # drivers invoking main()) keep their process-global handlers
+    prev_term = signal.signal(signal.SIGTERM, _request_stop)
+    prev_int = signal.signal(signal.SIGINT, _request_stop)
 
     example = prepare(get_batch())
     try:
         _train_loop(args, cfg, mesh, state, example, get_batch, prepare,
                     start_step, n_steps, stop_requested)
     finally:
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
         if isinstance(get_batch, _Prefetcher):
             get_batch.stop()     # don't leak the producer thread to callers
 

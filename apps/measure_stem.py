@@ -1,7 +1,7 @@
 """On-chip A/B for the fused Pallas stem (STATUS.md round-2 target #1).
 
 Measures, with in-program scan timing (utils.profiling.scan_time):
-  1. stem region alone: XLA stem vs ops/pallas/stem.stem_fused;
+  1. stem region alone: XLA stem vs experiments/stem.stem_fused;
   2. the FULL detect_and_compute with fused_stem=False vs True — the
      decision metric, since graph-level stem rewrites were measured
      slower *in context* by breaking XLA's surrounding fusion
@@ -40,7 +40,7 @@ def main():
     from accelerated_features_tpu.models.params import (fold_batchnorm,
                                                         init_xfeat_params)
     from accelerated_features_tpu.ops.extraction import detect_and_compute
-    from accelerated_features_tpu.ops.pallas.stem import stem_fused
+    from accelerated_features_tpu.experiments.stem import stem_fused
     from accelerated_features_tpu.utils.profiling import scan_time
 
     params = fold_batchnorm(init_xfeat_params(jax.random.key(0)))

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from accelerated_features_tpu.ops.sample import (sample_bicubic,
                                                  sample_bicubic_matmul)
-from accelerated_features_tpu.ops.pallas.bicubic_mxu import sample_bicubic_mxu
+from accelerated_features_tpu.experiments.bicubic_mxu import sample_bicubic_mxu
 
 
 def _case(rng, h, w, K, HW, seed_shift=0):

@@ -1,4 +1,4 @@
-"""Halo-grouped conv (ops/halo_conv.py) == direct conv, all stem configs."""
+"""Halo-grouped conv (experiments/halo_conv.py) == direct conv, all stem configs."""
 
 import numpy as np
 import pytest
@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from accelerated_features_tpu.models.backbone import conv2d
-from accelerated_features_tpu.ops.halo_conv import _pick_group, conv2d_halo
+from accelerated_features_tpu.experiments.halo_conv import _pick_group, conv2d_halo
 
 
 @pytest.mark.parametrize("C,Cout,stride,H,W", [

@@ -217,20 +217,22 @@ def test_lg_train_state_orbax_resume_roundtrip(tmp_path):
     trainer.init_train_state."""
     import optax
 
+    from accelerated_features_tpu.train.lighterglue_run import \
+        init_lg_train_state
     from accelerated_features_tpu.utils.checkpoint import (resume_or_init,
                                                            save_checkpoint)
 
     params = init_lighterglue_params(jax.random.key(4))
     opt = optax.adam(1e-4)
-    # exactly the state dict lighterglue_run.main builds
-    state = {"params": params, "opt_state": opt.init(params),
-             "step": jnp.zeros((), jnp.int32)}
+    # the REAL state constructor lighterglue_run.main uses — so a
+    # regression in its step dtype fails here, not only in a hand copy
+    state = init_lg_train_state(params, opt)
+    assert hasattr(state["step"], "dtype") and state["step"].ndim == 0
     saved = dict(state, step=state["step"] + 7)
     save_checkpoint(str(tmp_path), jax.device_get(saved), 7)
 
-    fresh = {"params": init_lighterglue_params(jax.random.key(5)),
-             "opt_state": opt.init(params),
-             "step": jnp.zeros((), jnp.int32)}
+    fresh = init_lg_train_state(init_lighterglue_params(jax.random.key(5)),
+                                opt)
     restored, resumed = resume_or_init(str(tmp_path), fresh)
     assert resumed
     assert int(restored["step"]) == 7

@@ -1,4 +1,4 @@
-"""Parity tests for the fused Pallas stem kernel (ops/pallas/stem.py).
+"""Parity tests for the fused Pallas stem kernel (experiments/stem.py).
 
 Oracle: the XLA stem (models/backbone.py:173-177 — block1 + avgpool/1x1
 skip), which is itself parity-tested against the torch reference in
@@ -14,7 +14,7 @@ import pytest
 from accelerated_features_tpu.models.backbone import input_norm
 from accelerated_features_tpu.models.params import (fold_batchnorm,
                                                     init_xfeat_params)
-from accelerated_features_tpu.ops.pallas.stem import (stem_fused,
+from accelerated_features_tpu.experiments.stem import (stem_fused,
                                                       stem_reference)
 
 
