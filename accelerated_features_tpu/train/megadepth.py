@@ -201,6 +201,83 @@ def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
+def load_all_views(megadepth_root: str, image_size=(800, 608),
+                   npz_glob: str = "train_data/megadepth_indices/"
+                                   "scene_info_0.1_0.7/*.npz"):
+    """Load EVERY view referenced by any overlap-filtered pair into host
+    arrays, for device-resident training (see run.py
+    ResidentMegaDepthBatcher): the whole dataset ships to HBM once and
+    per-step host->device traffic is a handful of indices.
+
+    Only valid for datasets that fit in HBM (the rendered procedural
+    dataset, apps/render_depth_dataset.py: ~0.5 GB for 260 views; real
+    MegaDepth must use the streaming MegaDepthLoader). All depth maps
+    must share one shape (true for rendered data; no 2000^2 padding is
+    applied — spvs_coarse takes depth at native resolution).
+
+    Returns dict of stacked arrays:
+      images (V, H, W, 1) uint8, depths (V, Hd, Wd) f32, Ks (V, 3, 3),
+      scales (V, 2), T_0to1/T_1to0 (Npairs, 4, 4),
+      pair_i0/pair_i1 (Npairs,) int32 global view indices.
+    """
+    import cv2
+    src = os.path.join(megadepth_root, "MegaDepth_v1")
+    paths = sorted(glob.glob(os.path.join(megadepth_root, npz_glob)))
+    if not paths:
+        raise FileNotFoundError(
+            f"no scene indices under {megadepth_root}/{npz_glob}")
+    W, H = image_size
+    images, depths, Ks, scales, poses = [], [], [], [], []
+    pair_i0, pair_i1 = [], []
+    for npz_path in paths:
+        ds = MegaDepthDataset(src, npz_path, image_size)
+        used = sorted({i for pr in ds.pairs for i in pr})
+        local = {}
+        for vi in used:
+            path = fix_path_from_d2net(ds._join(ds.image_paths[vi]))
+            img = imread_gray(path, ds.client)
+            if img is None:
+                continue
+            d = load_depth_h5(ds._join(ds.depth_paths[vi]), ds.client)
+            if d is None:
+                continue
+            local[vi] = len(images)
+            scales.append(np.array([img.shape[1] / W, img.shape[0] / H],
+                                   np.float32))
+            images.append(cv2.resize(img, (W, H))[..., None])
+            depths.append(np.asarray(d, np.float32))
+            Ks.append(np.asarray(ds.intrinsics[vi],
+                                 np.float32).reshape(3, 3))
+            poses.append(np.asarray(ds.poses[vi],
+                                    np.float32).reshape(4, 4))
+        for i0, i1 in ds.pairs:
+            if i0 in local and i1 in local:
+                pair_i0.append(local[i0])
+                pair_i1.append(local[i1])
+    if not pair_i0:
+        raise RuntimeError(f"no loadable pairs under {megadepth_root}")
+    shapes = {d.shape for d in depths}
+    if len(shapes) != 1:
+        raise RuntimeError(
+            f"device-resident loading needs uniform depth shapes, got "
+            f"{sorted(shapes)[:3]}...; use the streaming MegaDepthLoader")
+    poses_np = np.stack(poses)
+    i0 = np.asarray(pair_i0, np.int32)
+    i1 = np.asarray(pair_i1, np.int32)
+    T_0to1 = np.einsum("nij,njk->nik", poses_np[i1],
+                       np.linalg.inv(poses_np[i0]))
+    return {
+        "images": np.stack(images),
+        "depths": np.stack(depths),
+        "Ks": np.stack(Ks),
+        "scales": np.stack(scales),
+        "T_0to1": T_0to1.astype(np.float32),
+        "T_1to0": np.linalg.inv(T_0to1).astype(np.float32),
+        "pair_i0": i0,
+        "pair_i1": i1,
+    }
+
+
 class ImageFolderSource:
     """Random-image pool for the synthetic augmentation pipeline (replaces
     the COCO loader, reference augmentation.py:151-175): loads up to

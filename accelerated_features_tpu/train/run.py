@@ -67,6 +67,13 @@ def parse_args():
                     help="fixed correspondence budget per pair")
     ap.add_argument("--mesh", type=lambda s: tuple(map(int, s.split("x"))),
                     default=None, help="data x model mesh, e.g. 4x2")
+    ap.add_argument("--md_resident", action="store_true",
+                    help="ship the WHOLE MegaDepth-layout dataset to HBM "
+                         "once (uint8 images + depths) and stream only "
+                         "pair indices per step — required for long runs "
+                         "through the dev relay (transfer-buffer leak) and "
+                         "only valid for datasets that fit in HBM, e.g. "
+                         "the rendered procedural set")
     ap.add_argument("--distill_teacher", type=str, default=None,
                     help="weights (.npz/.pt) of a teacher XFeat whose "
                          "keypoints supervise the keypoint head on-device "
@@ -120,6 +127,60 @@ class SyntheticBatcher:
         if self._pool_dev is None or changed:
             self._pool_dev = jnp.asarray(self.source.pool_u8())
         return self._gen(sub, self._pool_dev, jnp.asarray(idx))
+
+
+class ResidentMegaDepthBatcher:
+    """Depth-supervised stream with the WHOLE dataset resident in HBM
+    (megadepth.load_all_views): per-step host->device traffic is just
+    (key, pair indices). This is what makes long MegaDepth-branch runs
+    possible through the dev relay (it retains every transfer buffer,
+    ~59 MB host RSS per 60 MB shipped — a streamed 2x6-image depth batch
+    is ~55 MB/step, i.e. OOM within ~2k steps), and on healthy runtimes
+    it still removes ~55 MB/step of host->device traffic. Use the
+    streaming MegaDepthBatcher for datasets that exceed HBM."""
+
+    def __init__(self, megadepth_root: str, batch_size: int,
+                 image_size, max_corrs: int, seed: int = 0):
+        from .megadepth import load_all_views
+        views = load_all_views(megadepth_root, image_size)
+        n_bytes = sum(v.nbytes for v in views.values())
+        print(f"[md-resident] {views['images'].shape[0]} views, "
+              f"{len(views['pair_i0'])} pairs, "
+              f"{n_bytes / 1e9:.2f} GB -> device")
+        self.n_pairs = len(views["pair_i0"])
+        self.batch_size = batch_size
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.key(2)
+        self._dev = {k: jnp.asarray(v) for k, v in views.items()}
+
+        def gen(key, idx, dev):
+            i0 = dev["pair_i0"][idx]
+            i1 = dev["pair_i1"][idx]
+            d = {
+                "image0": to_unit_float(dev["images"][i0]),
+                "image1": to_unit_float(dev["images"][i1]),
+                "depth0": dev["depths"][i0],
+                "depth1": dev["depths"][i1],
+                "K0": dev["Ks"][i0], "K1": dev["Ks"][i1],
+                "T_0to1": dev["T_0to1"][idx],
+                "T_1to0": dev["T_1to0"][idx],
+                "scale0": dev["scales"][i0],
+                "scale1": dev["scales"][i1],
+            }
+            k1, k2 = jax.random.split(key)
+            corrs, mask = spvs_coarse(d, 8)
+            corrs, mask = corr_to_fixed(corrs, mask, max_corrs, key=k1)
+            cf, cf_mask = spvs_full(d, k2, 8)
+            return {"image0": d["image0"], "image1": d["image1"],
+                    "corrs": corrs, "corr_valid": mask,
+                    "corrs_full": cf, "corr_full_valid": cf_mask}
+
+        self._gen = jax.jit(gen)
+
+    def next(self) -> Dict[str, jax.Array]:
+        self._key, sub = jax.random.split(self._key)
+        idx = self._rng.integers(0, self.n_pairs, self.batch_size)
+        return self._gen(sub, jnp.asarray(idx, jnp.int32), self._dev)
 
 
 class MegaDepthBatcher:
@@ -242,10 +303,17 @@ def main():
                                   args.training_res),
                 aug_cfg, bs_synth, args.max_corrs)
         if use_md and args.megadepth_root_path:
-            md = MegaDepthBatcher(
-                MegaDepthLoader(args.megadepth_root_path, bs_md,
-                                (args.training_res[0], args.training_res[1])),
-                args.max_corrs)
+            if args.md_resident:
+                md = ResidentMegaDepthBatcher(
+                    args.megadepth_root_path, bs_md,
+                    (args.training_res[0], args.training_res[1]),
+                    args.max_corrs)
+            else:
+                md = MegaDepthBatcher(
+                    MegaDepthLoader(
+                        args.megadepth_root_path, bs_md,
+                        (args.training_res[0], args.training_res[1])),
+                    args.max_corrs)
     if args.dry_run or (synth is None and md is None):
         fixed = dry_run_batch(eff_batch, args.training_res, args.max_corrs)
         get_batch = lambda: fixed

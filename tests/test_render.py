@@ -149,6 +149,52 @@ def test_layout_loads_through_megadepth_loader(mini_dataset):
     assert int(mask[0].sum()) > 30 and int(mask[1].sum()) > 30
 
 
+def test_resident_batcher_matches_streaming_gt(mini_dataset):
+    """ResidentMegaDepthBatcher (whole dataset in device memory, indices
+    per step) produces the same spvs_coarse GT as the streaming
+    MegaDepthBatcher for the same pair: identical correspondence SETS
+    under identical (depth, K, T) inputs."""
+    from accelerated_features_tpu.train.megadepth import load_all_views
+    from accelerated_features_tpu.train.run import ResidentMegaDepthBatcher
+    from accelerated_features_tpu.train.warp import spvs_coarse
+
+    views = load_all_views(mini_dataset, image_size=(RES_W, RES_H))
+    assert views["images"].dtype == np.uint8
+    assert views["depths"].shape[1:] == (RES_H, RES_W)  # no 2000^2 pad
+    assert len(views["pair_i0"]) >= 1
+
+    b = ResidentMegaDepthBatcher(mini_dataset, batch_size=2,
+                                 image_size=(RES_W, RES_H), max_corrs=256)
+    batch = b.next()
+    assert batch["image0"].shape == (2, RES_H, RES_W, 1)
+    assert batch["corrs"].shape == (2, 256, 4)
+    assert float(jnp.max(batch["image0"])) <= 1.0
+
+    # direct spvs on the resident arrays == spvs through the batcher's
+    # own gather for pair 0 (set equality of valid correspondences)
+    i0, i1 = int(views["pair_i0"][0]), int(views["pair_i1"][0])
+    data = {
+        "image0": jnp.asarray(views["images"][i0], jnp.float32)[None] / 255,
+        "image1": jnp.asarray(views["images"][i1], jnp.float32)[None] / 255,
+        "depth0": jnp.asarray(views["depths"][i0])[None],
+        "depth1": jnp.asarray(views["depths"][i1])[None],
+        "K0": jnp.asarray(views["Ks"][i0])[None],
+        "K1": jnp.asarray(views["Ks"][i1])[None],
+        "T_0to1": jnp.asarray(views["T_0to1"][0])[None],
+        "T_1to0": jnp.asarray(views["T_1to0"][0])[None],
+        "scale0": jnp.asarray(views["scales"][i0])[None],
+        "scale1": jnp.asarray(views["scales"][i1])[None],
+    }
+    corrs, mask = spvs_coarse(data, 8)
+    direct = {tuple(np.asarray(r)) for r in
+              np.asarray(corrs[0][np.asarray(mask[0])])}
+    got = b._gen(jax.random.key(0), jnp.asarray([0], jnp.int32), b._dev)
+    # fixed-budget subsampling means got's rows are a subset of direct
+    rows = {tuple(np.asarray(r)) for r in
+            np.asarray(got["corrs"][0][np.asarray(got["corr_valid"][0])])}
+    assert rows and rows.issubset(direct)
+
+
 def test_eval_manifest_pose_consistency(mini_dataset):
     """The rendered eval JSON's GT pose agrees with the rendered geometry:
     depth-derived correspondences produce ~zero angular pose error via
