@@ -41,6 +41,43 @@ def heatmap_decode(logits: jax.Array, softmax_temp: float = 1.0) -> jax.Array:
     return scores.reshape(b, h * 8, w * 8)
 
 
+def heatmap_decode_convt(logits: jax.Array,
+                         softmax_temp: float = 1.0) -> jax.Array:
+    """`heatmap_decode` with the pixel-shuffle expressed as a stride-8
+    transposed convolution with a 0/1 scatter kernel — candidate measured
+    for VERDICT r3 'Next round' #4 (the decode stage ran at 24-30% SoL:
+    XLA lowers the (b,h,w,8,8)->(b,h,8,w,8) transpose as an HBM
+    transpose-copy). Each output pixel receives exactly ONE contribution
+    (weight 1), so with HIGHEST precision the result is bit-faithful to
+    the reshape formulation. The MXU does the data movement: FLOPs are
+    b*h*w*64*64 ~= 1.3 G MAC per VGA image batch item — noise."""
+    b, h, w, _ = logits.shape
+    scores = jax.nn.softmax(logits * softmax_temp, axis=-1)[..., :64]
+    # kernel[7-dy, 7-dx, c == 8*dy+dx, 0] = 1: conv_transpose applies the
+    # HWIO kernel spatially mirrored (fractionally-strided conv), so the
+    # scatter offsets are stored flipped (verified bit-exact vs the
+    # reshape formulation in tests)
+    k = jnp.eye(64, dtype=scores.dtype).reshape(8, 8, 64)[::-1, ::-1]
+    out = jax.lax.conv_transpose(
+        scores, k[:, :, :, None], strides=(8, 8), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out[..., 0]
+
+
+def heatmap_decode_planes(logits: jax.Array,
+                          softmax_temp: float = 1.0) -> jax.Array:
+    """`heatmap_decode` with the pixel-shuffle expressed as 8 channel-slice
+    row planes + stack (the (w, dx) minor-dims merge is a free reshape;
+    only the dy axis moves) — measured alternative lowering of the same
+    transpose."""
+    b, h, w, _ = logits.shape
+    scores = jax.nn.softmax(logits * softmax_temp, axis=-1)[..., :64]
+    hd = scores.reshape(b, h, w, 8, 8)
+    planes = [hd[:, :, :, dy, :].reshape(b, h, w * 8) for dy in range(8)]
+    return jnp.stack(planes, axis=2).reshape(b, h * 8, w * 8)
+
+
 def local_max_mask(heat: jax.Array, threshold: float = 0.05,
                    kernel_size: int = 5) -> jax.Array:
     """(B,H,W) -> bool mask of 5x5 local maxima above threshold

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--top_k", type=int, default=4096)
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--input_dtype", type=str, default="float32",
+                    choices=["float32", "uint8"],
+                    help="uint8 = camera-native frames (the /255 runs "
+                         "inside the jitted pipeline via to_unit_float; "
+                         "bench.py measures this configuration)")
     args = ap.parse_args()
     W, H = map(int, args.res.split("x"))
     B, K = args.batch, args.top_k
@@ -46,11 +51,16 @@ def main():
 
     params = fold_batchnorm(init_xfeat_params(jax.random.key(0)))
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32)
+    from accelerated_features_tpu.ops.resize import to_unit_float
+    if args.input_dtype == "uint8":
+        x = jnp.asarray(rng.integers(0, 256, (B, H, W, 1)), jnp.uint8)
+    else:
+        x = jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32)
 
     dev = jax.devices()[0]
     print(f"# backend={jax.default_backend()} dev={dev.device_kind} "
-          f"B={B} {W}x{H} top_k={K} dtype={args.dtype}")
+          f"B={B} {W}x{H} top_k={K} dtype={args.dtype} "
+          f"input={args.input_dtype}")
 
     def stage(name, fn, *args):
         t = timeit(fn, *args)
@@ -63,12 +73,13 @@ def main():
     t_full = stage("full", full, params, x)
 
     # backbone only
-    bb = jax.jit(lambda p, im: xfeat_forward(p, im, compute_dtype=cdt))
+    bb = jax.jit(lambda p, im: xfeat_forward(p, to_unit_float(im),
+                                             compute_dtype=cdt))
     t_bb = stage("backbone", bb, params, x)
 
     # stem: input_norm + block1 + skip
     def stem_fn(p, im):
-        z = input_norm(im).astype(cdt)
+        z = input_norm(to_unit_float(im)).astype(cdt)
         x1 = _block(p["block1"], z, "block1", False, None)
         skip = jax.lax.reduce_window(
             z, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 4, 4, 1), "VALID") / 16.0
@@ -79,7 +90,8 @@ def main():
 
     # individual block1 convs
     from accelerated_features_tpu.models.backbone import _basic_layer, BLOCK_PLANS
-    z0 = jax.block_until_ready(jax.jit(lambda im: input_norm(im).astype(cdt))(x))
+    z0 = jax.block_until_ready(jax.jit(
+        lambda im: input_norm(to_unit_float(im)).astype(cdt))(x))
     zs = [z0]
     for i, (_, s) in enumerate(BLOCK_PLANS["block1"]):
         zi = jax.jit(lambda p, a, s=s: _basic_layer(p, a, s, False, None))(
@@ -91,7 +103,8 @@ def main():
             f"block1.conv{i+1}",
             jax.jit(lambda p, a, s=s: _basic_layer(p, a, s, False, None)),
             params["block1"][i], zs[i]))
-    t_in = stage("input_norm", jax.jit(lambda im: input_norm(im).astype(cdt)), x)
+    t_in = stage("input_norm", jax.jit(
+        lambda im: input_norm(to_unit_float(im)).astype(cdt)), x)
 
     # post-backbone stages
     feats, logits, heat = jax.block_until_ready(bb(params, x))

@@ -247,3 +247,22 @@ def test_config_tree():
     assert DEFAULT.semidense.scale1 == 0.6
     xf = make_xfeat()
     assert xf.top_k == DEFAULT.detector.top_k
+
+
+def test_heatmap_decode_variants_bit_exact():
+    """The conv_transpose (MXU scatter) and plane-stack formulations of
+    the pixel-shuffle decode are BIT-exact vs the reshape-transpose
+    reference implementation (apps/measure_select.py A/Bs them on-chip;
+    exactness is what allows wiring whichever measures fastest)."""
+    from accelerated_features_tpu.ops.detect import (heatmap_decode,
+                                                     heatmap_decode_convt,
+                                                     heatmap_decode_planes)
+    rng = np.random.default_rng(7)
+    for (h, w) in [(12, 16), (60, 80), (5, 7)]:
+        logits = jnp.asarray(rng.normal(0, 2, (2, h, w, 65)).astype(
+            np.float32))
+        a = heatmap_decode(logits)
+        np.testing.assert_array_equal(np.asarray(a),
+                                      np.asarray(heatmap_decode_convt(logits)))
+        np.testing.assert_array_equal(np.asarray(a),
+                                      np.asarray(heatmap_decode_planes(logits)))
