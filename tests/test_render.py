@@ -195,6 +195,24 @@ def test_resident_batcher_matches_streaming_gt(mini_dataset):
     assert rows and rows.issubset(direct)
 
 
+def test_trainer_cli_md_resident(mini_dataset, tmp_path, monkeypatch):
+    """The full training CLI runs the depth-supervised branch end-to-end
+    on the rendered dataset with --md_resident (the configuration the
+    real-chip combined run uses): two steps, checkpoint written."""
+    import accelerated_features_tpu.train.run as train_run
+
+    monkeypatch.setattr(sys, "argv", [
+        "run.py", "--training_type", "xfeat_megadepth",
+        "--megadepth_root_path", mini_dataset, "--md_resident",
+        "--ckpt_save_path", str(tmp_path / "ck"),
+        "--batch_size", "2", "--n_steps", "2", "--max_corrs", "64",
+        "--training_res", f"{RES_W},{RES_H}",
+        "--save_ckpt_every", "2"])
+    train_run.main()  # must not raise
+    from accelerated_features_tpu.utils.checkpoint import latest_checkpoint
+    assert latest_checkpoint(str(tmp_path / "ck")) is not None
+
+
 def test_eval_manifest_pose_consistency(mini_dataset):
     """The rendered eval JSON's GT pose agrees with the rendered geometry:
     depth-derived correspondences produce ~zero angular pose error via

@@ -452,3 +452,24 @@ def test_slam_relocalization():
     outs = [slam.process_frame(None) for _ in range(len(frames))]
     assert slam.n_relocalizations >= 1
     assert any(o["relocalized"] for o in outs)
+
+
+def test_block_jacobi_pcg_converges_faster():
+    """Block-Jacobi PCG (M = damped U, zero extra interconnect traffic)
+    must reach the plain-CG@50 cost level in <= half the iterations on
+    the synthetic BA problem — each saved CG iteration saves one
+    latency-bound camera-space psum in the distributed solver
+    (parallel/ba.predicted_weak_scaling)."""
+    import jax
+
+    from accelerated_features_tpu.sfm.ba import bundle_adjust
+
+    p, _, _ = _synth_ba_problem()
+
+    _, st_plain = jax.jit(lambda q: bundle_adjust(
+        q, iters=6, cg_iters=50, precond=False))(p)
+    _, st_pcg = jax.jit(lambda q: bundle_adjust(
+        q, iters=6, cg_iters=20, precond=True))(p)
+    # PCG at 20 iters matches (or beats) plain CG at 50
+    assert float(st_pcg["final_cost"]) <= 1.02 * float(
+        st_plain["final_cost"])
