@@ -157,19 +157,31 @@ def cg_solve(matvec, b: jax.Array, iters: int = 50, tol: float = 1e-8,
     z0 = ident(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
+    rr0 = jnp.vdot(r0, r0)
 
     def body(_, state):
         x, r, pv, rz = state
+        # relative-residual stop (masked update — static shapes): besides
+        # saving matvecs' worth of work being wasted, this is what keeps
+        # a STRONG preconditioner well-behaved on gauge-deficient BA
+        # systems: once ||r|| is down 1e-5, further iterations only walk
+        # the near-null (gauge) directions where the cost is flat —
+        # plain CG barely moves there (tiny eigenvalues), but
+        # preconditioned CG strides along them, drifting the solution at
+        # equal cost and amplifying cross-device reduction-order noise.
+        live = jnp.vdot(r, r) > (1e-5 ** 2) * rr0
         Ap = matvec(pv)
         denom = jnp.vdot(pv, Ap)
-        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        alpha = jnp.where(live & (jnp.abs(denom) > 1e-20),
+                          rz / denom, 0.0)
         x = x + alpha * pv
         r = r - alpha * Ap
         z = ident(r)
         rz_new = jnp.vdot(r, z)
-        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
-        pv = z + beta * pv
-        return x, r, pv, rz_new
+        beta = jnp.where(live & (jnp.abs(rz) > 1e-20), rz_new / rz, 0.0)
+        pv = jnp.where(live, z + beta * pv, pv)
+        rz_keep = jnp.where(live, rz_new, rz)
+        return x, r, pv, rz_keep
 
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, p0, rz0))
     return x
@@ -196,11 +208,21 @@ def ba_step(p: BAProblem, lam: float, cg_iters: int = 50,
                            reduce_cam=reduce_cam, reduce_pt=reduce_pt)
     pc_mv = None
     if precond:
-        # block-Jacobi M = U (damped, PSD; fixed cameras have U = lam*I
-        # from the zeroed Jacobians — invertible, and their dc is zeroed
-        # below anyway). U is replicated: no interconnect traffic.
-        Uinv = jnp.linalg.inv(U)                       # (C, 6, 6)
-        pc_mv = lambda r: jnp.einsum("cij,cj->ci", Uinv, r)
+        # Block-Jacobi with the TRUE diagonal block of S: since BA has at
+        # most one observation per (camera, point) pair, the per-camera
+        # Schur diagonal is exactly S_cc = U_c - sum_{i: cam(i)=c}
+        # W_i V^{-1}_{pt(i)} W_i^T — one extra camera-space segment-sum
+        # (+psum under sharding) per LM step, OUTSIDE the CG loop.
+        # (Preconditioning with U alone matched on cost but drifted along
+        # the weakly-determined near-gauge directions — larger parameter
+        # error at equal cost. The exact S diagonal preserves S's
+        # geometry there.) Fixed cameras reduce to lam*I: invertible,
+        # and their dc is zeroed below anyway.
+        wvw = jnp.einsum("nij,njk,nlk->nil", W, Vinv[p.obs_pt], W)
+        S_diag = U - reduce_cam(jax.ops.segment_sum(
+            wvw, p.obs_cam, num_segments=C))
+        Minv = jnp.linalg.inv(S_diag)                  # (C, 6, 6)
+        pc_mv = lambda r: jnp.einsum("cij,cj->ci", Minv, r)
     dc = cg_solve(mv, rhs, cg_iters, precond_mv=pc_mv)
 
     # dp = V^{-1} (b_p - W^T dc)

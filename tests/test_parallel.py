@@ -134,7 +134,11 @@ def _random_ba_problem(seed=0, C=8, Pn=200, N=1200):
     pts = rng.uniform(-2, 2, (Pn, 3)).astype(np.float32)
     K = np.array([[500., 0, 320], [0, 500., 240], [0, 0, 1]], np.float32)
     fixed = np.zeros(C, bool)
+    # two fixed cameras pin the scale gauge: parameter-level equality
+    # across layouts is only well-defined on a fully gauge-fixed
+    # problem (see tests/test_sfm._fix_scale_gauge)
     fixed[0] = True
+    fixed[1] = True
     return BAProblem(
         jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(K),
         jnp.asarray(rng.integers(0, C, N).astype(np.int32)),

