@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--lg_weights", type=str, default=None,
                     help="LighterGlue checkpoint (.npz/.pt or a "
                          "train/lighterglue_run checkpoint dir)")
+    ap.add_argument("--lg_min_conf", type=str, default="0.1",
+                    help="comma-separated confidence gates to sweep for "
+                         "--matcher lighterglue (reference "
+                         "filter_threshold 0.1); each value is one "
+                         "result row, programs are reused across rows")
     args = ap.parse_args()
 
     from accelerated_features_tpu import XFeat
@@ -119,7 +124,7 @@ def main():
             # checkpoint dirs (orbax or npz)
             xf.set_lighterglue(weights=args.lg_weights)
 
-    def run_matcher(im0, im1):
+    def run_matcher(im0, im1, lg_min_conf=0.1):
         if args.matcher == "mnn":
             return xf.match_xfeat(im0, im1)
         if args.matcher == "star":
@@ -128,7 +133,7 @@ def main():
         d0["image_size"] = im0.shape[1::-1]
         d1 = xf.detectAndCompute(im1)[0]
         d1["image_size"] = im1.shape[1::-1]
-        mk0, mk1, _ = xf.match_lighterglue(d0, d1)
+        mk0, mk1, _ = xf.match_lighterglue(d0, d1, min_conf=lg_min_conf)
         return mk0, mk1
 
     import glob
@@ -137,7 +142,7 @@ def main():
     if not paths:
         raise FileNotFoundError(args.images)
 
-    def eval_one(ckpt):
+    def eval_one(ckpt, lg_min_conf=0.1):
         # same seed per checkpoint: every row sees the SAME pair set
         rng = np.random.default_rng(args.seed)
         prec, nm, mace, ok = [], [], [], 0
@@ -152,7 +157,7 @@ def main():
             h, w = im0.shape[:2]
             H_gt = gt_homography(rng, w, h)
             im1 = cv2.warpPerspective(im0, H_gt, (w, h))
-            mk0, mk1 = run_matcher(im0, im1)
+            mk0, mk1 = run_matcher(im0, im1, lg_min_conf)
             nm.append(len(mk0))
             if len(mk0) >= 4:
                 ph = np.concatenate([mk0, np.ones((len(mk0), 1))], 1) @ H_gt.T
@@ -173,10 +178,11 @@ def main():
         errors_full = list(mace) + [np.inf] * (args.pairs - len(mace))
         a = error_auc(errors_full, thresholds=(3, 5, 10))
         aucs = {f"h_auc@{t}px": a[f"auc@{t}"] for t in (3, 5, 10)}
-        return {
+        row = {
             "ckpt": ckpt or "random-init",
             "matcher": args.matcher,
             "pairs": args.pairs,
+            "seed": args.seed,
             "detection_threshold": xf.detection_threshold,
             "mean_matches": float(np.mean(nm)),
             "precision@3px": float(np.mean(prec)),
@@ -184,15 +190,21 @@ def main():
             "mace_median_px": float(np.median(mace_arr)),
             **aucs,
         }
+        if args.matcher == "lighterglue":
+            row["lg_min_conf"] = lg_min_conf
+        return row
 
+    lg_confs = [float(c) for c in args.lg_min_conf.split(",")] \
+        if args.matcher == "lighterglue" else [0.1]
     results = []
     for j, ckpt in enumerate(ckpts):
         if j > 0:     # first checkpoint was loaded at construction
             xf.set_params(ckpt_params(ckpt))
             xf.detection_threshold = ckpt_thr(ckpt)
-        out = eval_one(ckpt)
-        print(json.dumps(out, indent=2), flush=True)
-        results.append(out)
+        for mc in lg_confs:
+            out = eval_one(ckpt, mc)
+            print(json.dumps(out, indent=2), flush=True)
+            results.append(out)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results if len(results) > 1 else results[0], f,
