@@ -36,6 +36,16 @@ def load_params(weights: Optional[Union[str, Dict[str, Any]]],
     if weights is None:
         params = init_xfeat_params(jax.random.key(0))
     elif isinstance(weights, str):
+        import os as _os
+        if _os.path.isdir(weights):
+            # training checkpoint DIRECTORY (orbax or npz) from train/run:
+            # resolve the latest checkpoint and extract the params subtree
+            # (same convention as models.lighterglue.LighterGlue)
+            from .utils.checkpoint import load_params_from_checkpoint
+            params = load_params_from_checkpoint(weights)
+            if fold_bn:
+                params = fold_batchnorm(params)
+            return params
         if weights.endswith(".npz"):
             data = np.load(weights, allow_pickle=True)
             if any(k.startswith("params/") for k in data.keys()):

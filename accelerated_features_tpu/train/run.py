@@ -67,6 +67,12 @@ def parse_args():
                     help="fixed correspondence budget per pair")
     ap.add_argument("--mesh", type=lambda s: tuple(map(int, s.split("x"))),
                     default=None, help="data x model mesh, e.g. 4x2")
+    ap.add_argument("--platform", type=str, default=None,
+                    choices=["cpu", "tpu"],
+                    help="force the JAX backend. Needed for CPU smoke "
+                         "runs in environments whose sitecustomize "
+                         "ignores JAX_PLATFORMS (jax.config is applied "
+                         "before first backend use)")
     ap.add_argument("--md_resident", action="store_true",
                     help="ship the WHOLE MegaDepth-layout dataset to HBM "
                          "once (uint8 images + depths) and stream only "
@@ -231,6 +237,8 @@ def dry_run_batch(batch_size: int, res, max_corrs: int):
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     # Distillation: on when a teacher checkpoint is given — its keypoints
     # are computed ON DEVICE per batch (train/utils.py make_xfeat_teacher),
     # replacing the reference's per-step ALIKE CPU round-trip

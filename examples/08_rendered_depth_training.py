@@ -23,6 +23,11 @@ import tempfile
 
 import numpy as np
 
+# CPU everywhere: the example must run anywhere in ~3 minutes, and this
+# environment's sitecustomize ignores JAX_PLATFORMS (jax.config wins)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RES = "160x128"
@@ -57,7 +62,8 @@ def main():
         "--megadepth_root_path", data_dir, "--md_resident",
         "--ckpt_save_path", os.path.join(work, "ckpts"),
         "--batch_size", "2", "--n_steps", "3", "--max_corrs", "64",
-        "--training_res", f"{w},{h}", "--save_ckpt_every", "3"],
+        "--training_res", f"{w},{h}", "--save_ckpt_every", "3",
+        "--platform", "cpu"],
         check=True, cwd=REPO)
 
     # 4. held-out relative-pose eval with GT intrinsics/poses

@@ -228,3 +228,24 @@ def test_detect_parity_high_res(pair):
     assert len(common) >= 0.99 * max(len(m_ref), len(m_our))
     for key in list(common)[:200]:
         np.testing.assert_allclose(m_our[key][1], m_ref[key][1], atol=2e-3)
+
+
+def test_xfeat_loads_training_checkpoint_dir(tmp_path):
+    """XFeat(weights=<train-checkpoint DIR>) resolves the latest
+    checkpoint and extracts + folds the params subtree — the handoff
+    path examples/08 and the eval CLIs use (regression: this used to
+    fall through to torch.load and IsADirectoryError)."""
+    import numpy as np
+
+    from accelerated_features_tpu.api import XFeat
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.utils.checkpoint import _flatten
+
+    params = init_xfeat_params(jax.random.key(11))
+    state = {"params": params, "opt_state": (np.int32(0),),
+             "step": np.int64(5)}
+    np.savez(str(tmp_path / "ckpt_00000005.npz"), **dict(_flatten(state)))
+
+    xf = XFeat(weights=str(tmp_path), top_k=64)
+    # folded params have a bias everywhere instead of BN running stats
+    assert all("b" in p for p in xf.params["block1"])
