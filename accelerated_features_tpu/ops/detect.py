@@ -78,6 +78,21 @@ def heatmap_decode_planes(logits: jax.Array,
     return jnp.stack(planes, axis=2).reshape(b, h * 8, w * 8)
 
 
+def heatmap_decode_auto(logits: jax.Array,
+                        softmax_temp: float = 1.0) -> jax.Array:
+    """Dispatch between the bit-exact decode formulations on the
+    XFEAT_DECODE env var: 'reshape' (default), 'convt', 'planes'.
+    Resolved at TRACE time (same caveat as XFEAT_FUSED_STEM): set the
+    env var before the first jitted call. All variants are bit-exact
+    (tested), so this only selects the lowering XLA gets to schedule —
+    apps/measure_select.py measures them on-chip."""
+    import os
+    impl = os.environ.get("XFEAT_DECODE", "reshape")
+    fn = {"reshape": heatmap_decode, "convt": heatmap_decode_convt,
+          "planes": heatmap_decode_planes}[impl]
+    return fn(logits, softmax_temp)
+
+
 def local_max_mask(heat: jax.Array, threshold: float = 0.05,
                    kernel_size: int = 5) -> jax.Array:
     """(B,H,W) -> bool mask of 5x5 local maxima above threshold

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.backbone import xfeat_forward
-from .detect import dense_topk, heatmap_decode, score_map, topk_keypoints
+from .detect import (dense_topk, heatmap_decode_auto as heatmap_decode,
+                     score_map, topk_keypoints)
 from .resize import preprocess_image, resize_bilinear, to_unit_float
 from .sample import sample_bicubic, sample_bicubic_matmul
 
