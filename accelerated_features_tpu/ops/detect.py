@@ -80,14 +80,23 @@ def heatmap_decode_planes(logits: jax.Array,
 
 def heatmap_decode_auto(logits: jax.Array,
                         softmax_temp: float = 1.0) -> jax.Array:
-    """Dispatch between the bit-exact decode formulations on the
-    XFEAT_DECODE env var: 'reshape' (default), 'convt', 'planes'.
-    Resolved at TRACE time (same caveat as XFEAT_FUSED_STEM): set the
-    env var before the first jitted call. All variants are bit-exact
-    (tested), so this only selects the lowering XLA gets to schedule —
-    apps/measure_select.py measures them on-chip."""
+    """Dispatch between the bit-exact decode formulations, default
+    per-backend; override with XFEAT_DECODE in {'reshape', 'convt',
+    'planes'}. Resolved at TRACE time (same caveat as XFEAT_FUSED_STEM):
+    set the env var before the first jitted call.
+
+    Default on TPU is 'convt' — measured ON-CHIP (apps/measure_select.py,
+    v5e b64): in isolation the conv_transpose lowering is pathological
+    (131 ms vs 1.4 ms at VGA), but fused into the full extraction
+    pipeline it deletes the decode stage's HBM transpose-copy and the
+    END-TO-END pipeline gains +7.6% VGA (4720 -> 5079 FPS) and +9.8% at
+    1024x768 (2033 -> 2233 FPS) — the mirror image of the halo-conv
+    lesson (docs/DESIGN.md section 10): only in-context measurements
+    decide. All variants are bit-exact (tested), so the choice never
+    changes results."""
     import os
-    impl = os.environ.get("XFEAT_DECODE", "reshape")
+    default = "convt" if jax.default_backend() == "tpu" else "reshape"
+    impl = os.environ.get("XFEAT_DECODE", default)
     fn = {"reshape": heatmap_decode, "convt": heatmap_decode_convt,
           "planes": heatmap_decode_planes}[impl]
     return fn(logits, softmax_temp)
