@@ -230,6 +230,15 @@ class XFeat:
             # numpy stays host-side here: the jit call transfers it once
             # (host threads like serve.py's handler must not round-trip
             # pixels through the device just to shape-normalize them)
+            if not isinstance(x, jax.Array) and x.shape[-1] == 1:
+                # (B,H,W,1) uint8 picks a degenerate XLA tiling through
+                # input-norm (measured r4: 4170 vs 5095 FPS at VGA b64).
+                # input_norm is a channel mean (models/backbone.py:145),
+                # so expanding gray to the RGB layout host-side is exact
+                # and restores the fast tiling; gray cameras are a
+                # first-class case (the reference trains/evals grayscale,
+                # reference megadepth.py:93). VERDICT r4 #4.
+                x = np.repeat(x, 3, axis=-1)
             return x if isinstance(x, jax.Array) else np.ascontiguousarray(x)
         if is_np and np.issubdtype(x.dtype, np.floating) and \
                 x.size and float(np.max(x)) > 1.5:

@@ -81,25 +81,32 @@ def heatmap_decode_planes(logits: jax.Array,
 def heatmap_decode_auto(logits: jax.Array,
                         softmax_temp: float = 1.0) -> jax.Array:
     """Dispatch between the bit-exact decode formulations, default
-    per-backend; override with XFEAT_DECODE in {'reshape', 'convt',
-    'planes'}. Resolved at TRACE time (same caveat as XFEAT_FUSED_STEM):
-    set the env var before the first jitted call.
+    'reshape' everywhere; override with XFEAT_DECODE in {'reshape',
+    'convt', 'planes'}. Resolved at TRACE time (same caveat as
+    XFEAT_FUSED_STEM): set the env var before the first jitted call.
 
-    Default on TPU is 'convt' — measured ON-CHIP (apps/measure_select.py,
-    v5e b64): in isolation the conv_transpose lowering is pathological
-    (131 ms vs 1.4 ms at VGA), but fused into the full extraction
-    pipeline it deletes the decode stage's HBM transpose-copy and the
-    END-TO-END pipeline gains +7.6% VGA (4720 -> 5079 FPS) and +9.8% at
-    1024x768 (2033 -> 2233 FPS) — the mirror image of the halo-conv
-    lesson (docs/DESIGN.md section 10): only in-context measurements
-    decide. All variants are bit-exact (tested), so the choice never
-    changes results."""
+    History (docs/DESIGN.md section 10e): round 4 made 'convt' the TPU
+    default off an end-to-end A/B that showed +7.6%% — but that harness
+    perturbed only a PARAM leaf between scan iterations, which let XLA
+    treat the image-dependent majority of the pipeline as loop-constant;
+    under an honest harness (input perturbed every iteration, round 5)
+    the conv_transpose lowering is a catastrophic 8x END-TO-END
+    regression on v5e (435 vs 3486 FPS at VGA b64), matching its 131 ms
+    isolated cost. 'reshape' and 'planes' measure within noise of each
+    other (3486 vs 3456 FPS). All variants are bit-exact (tested), so
+    the choice never changes results."""
     import os
-    default = "convt" if jax.default_backend() == "tpu" else "reshape"
+    default = "reshape"
     impl = os.environ.get("XFEAT_DECODE", default)
-    fn = {"reshape": heatmap_decode, "convt": heatmap_decode_convt,
-          "planes": heatmap_decode_planes}[impl]
-    return fn(logits, softmax_temp)
+    variants = {"reshape": heatmap_decode, "convt": heatmap_decode_convt,
+                "planes": heatmap_decode_planes}
+    if impl not in variants:
+        # a typo would otherwise surface as a bare KeyError at trace time
+        # deep inside jit with no hint of valid values (ADVICE r4)
+        raise ValueError(
+            f"XFEAT_DECODE={impl!r} is not a decode variant; expected one "
+            f"of {sorted(variants)}")
+    return variants[impl](logits, softmax_temp)
 
 
 def local_max_mask(heat: jax.Array, threshold: float = 0.05,

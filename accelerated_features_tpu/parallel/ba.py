@@ -152,7 +152,8 @@ def partition_by_point(p: BAProblem, ndev: int) -> Tuple[BAProblem,
 
 
 def collective_accounting(n_cams: int, cg_iters: int = 50,
-                          dtype_bytes: int = 4) -> Dict[str, float]:
+                          dtype_bytes: int = 4,
+                          precond: bool = True) -> Dict[str, float]:
     """Analytic per-LM-iteration ICI traffic of
     `bundle_adjust_point_sharded` (VERDICT r3 'Next round' #5).
 
@@ -162,6 +163,8 @@ def collective_accounting(n_cams: int, cg_iters: int = 50,
     the psum'd arrays are, in program order (sfm/ba.py):
 
       build_normal_blocks: U (C,6,6), b_c (C,6), cost ()
+      ba_step S_diag:      (C,6,6) block-Jacobi Schur diagonal
+                           (precond=True default; ADVICE r4)
       ba_step rhs:         (C,6)
       cg_solve:            cg_iters x schur_matvec back-reduce (C,6)
       accept test:         ba_cost () scalar
@@ -175,14 +178,17 @@ def collective_accounting(n_cams: int, cg_iters: int = 50,
     """
     C = n_cams
     u_bytes = C * 36 * dtype_bytes
+    sdiag_bytes = C * 36 * dtype_bytes if precond else 0
     bc_bytes = C * 6 * dtype_bytes
     rhs_bytes = C * 6 * dtype_bytes
     cg_bytes = cg_iters * C * 6 * dtype_bytes
     scalar_bytes = 2 * dtype_bytes
-    total = u_bytes + bc_bytes + rhs_bytes + cg_bytes + scalar_bytes
+    total = (u_bytes + sdiag_bytes + bc_bytes + rhs_bytes + cg_bytes
+             + scalar_bytes)
     return {
-        "U": u_bytes, "b_c": bc_bytes, "rhs": rhs_bytes,
-        "cg_matvecs": cg_bytes, "cost_scalars": scalar_bytes,
+        "U": u_bytes, "S_diag": sdiag_bytes, "b_c": bc_bytes,
+        "rhs": rhs_bytes, "cg_matvecs": cg_bytes,
+        "cost_scalars": scalar_bytes,
         "per_lm_iteration": total,
     }
 
@@ -228,7 +234,8 @@ def predicted_weak_scaling(n_cams: int, n_pts_per_dev: int,
                            ici_bandwidth: float = 4.5e10,
                            flops_rate: float = 2.0e13,
                            hbm_bandwidth: float = 8.1e11,
-                           hop_latency: float = 1e-6) -> Dict[str, float]:
+                           hop_latency: float = 1e-6,
+                           precond: bool = True) -> Dict[str, float]:
     """Predicted weak-scaling efficiency of point-sharded BA on a TPU
     slice: per-device problem size FIXED (n_pts_per_dev points with
     obs_per_pt observations each), camera set shared.
@@ -266,11 +273,12 @@ def predicted_weak_scaling(n_cams: int, n_pts_per_dev: int,
     fl = flops_accounting(int(n_obs_local), n_cams, n_pts_per_dev, cg_iters)
     hbm = hbm_accounting(int(n_obs_local), n_pts_per_dev, cg_iters)
     t_compute = max(fl / flops_rate, hbm / hbm_bandwidth)
-    acct = collective_accounting(n_cams, cg_iters)
+    acct = collective_accounting(n_cams, cg_iters, precond=precond)
     payload = acct["per_lm_iteration"]
-    # collectives per LM iteration: U, b_c (combined or not, count 2),
-    # rhs, cg_iters matvecs, 2 cost scalars
-    n_collectives = 4 + cg_iters
+    # collectives per LM iteration, counted from the actual program
+    # (ADVICE r4): U, b_c, rhs, 2 cost scalars, cg_iters matvecs, plus
+    # the S_diag psum the block-Jacobi preconditioner adds
+    n_collectives = 5 + cg_iters + (1 if precond else 0)
     ring = 2.0 * (ndev - 1) / max(ndev, 1)
     wire = ring * payload
     t_comm = n_collectives * 2 * (ndev - 1) * hop_latency \

@@ -163,7 +163,12 @@ def render_view(quads: List[Dict[str, np.ndarray]], K: np.ndarray,
         hit = (tt > 0.05) & (tt < zbuf)
         if not hit.any():
             continue
-        X = d * tt[..., None] - p0                   # (h, w, 3) in-plane
+        # grazing rays carry tt=inf -> X mixes +-inf -> a/b go NaN; those
+        # pixels are already excluded by `hit`, but NaN survives np.clip
+        # and casts to INT32_MIN, crashing the texture fancy-index
+        # (ADVICE r4). Zero the parameter on non-hit pixels instead.
+        tt_safe = np.where(hit, tt, 0.0)
+        X = d * tt_safe[..., None] - p0              # (h, w, 3) in-plane
         # local coordinates via the quad's dual basis
         g11, g12, g22 = e1 @ e1, e1 @ e2, e2 @ e2
         det = g11 * g22 - g12 * g12
@@ -227,11 +232,17 @@ def pair_overlap(depth0: np.ndarray, depth1: np.ndarray,
 def render_scene_views(rng: np.random.Generator,
                        textures: List[np.ndarray],
                        n_views: int, w: int, h: int,
-                       n_quads: int = 12) -> Dict[str, list]:
+                       n_quads: int = 12,
+                       baseline_frac: Tuple[float, float] = (0.08, 0.35)
+                       ) -> Dict[str, list]:
     """Render `n_views` cameras of one random scene. View 0 is the
     canonical camera; every further view is a perturbed re-aim (same
     construction as make_camera_pair, sampled independently). Returns
-    dict of lists: images, depths, Ks, poses (w2c 4x4)."""
+    dict of lists: images, depths, Ks, poses (w2c 4x4).
+
+    `baseline_frac` widens camera motion (VERDICT r4 #1/#2: wider
+    baselines + more occlusion make the rendered set harder and give an
+    attention matcher context to exploit)."""
     quads = make_scene(rng, textures, n_quads=n_quads)
     # scene center: mean of floating-quad centers (skip backdrop)
     centers = [q["p0"] + 0.5 * q["e1"] + 0.5 * q["e2"] for q in quads[1:]]
@@ -245,7 +256,7 @@ def render_scene_views(rng: np.random.Generator,
         if vi == 0:
             T = T0
         else:
-            b = rng.uniform(0.08, 0.35) * dist
+            b = rng.uniform(*baseline_frac) * dist
             direction = _unit(np.concatenate(
                 [rng.normal(size=2), [0.3 * rng.normal()]]))
             target = center + rng.normal(scale=0.05 * dist, size=3)

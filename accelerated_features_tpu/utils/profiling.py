@@ -45,7 +45,9 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3,
     return (time.perf_counter() - t0) / iters
 
 
-def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
+def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1,
+              min_window_s: float = 0.05, max_iters: int = 2048,
+              perturb_ints: bool = False) -> float:
     """Steady-state seconds/call measured INSIDE one compiled program.
 
     `time_fn` trusts `block_until_ready`, which on relayed/remote device
@@ -62,15 +64,37 @@ def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
     The scalar chained through the carry makes each iteration's output
     live. Returns (t_total - t_warmupless_overhead) / iters using a
     second scan of 1 iteration to subtract dispatch+readback latency.
+
+    The (tN - t1) subtraction is only meaningful when the in-scan work
+    dwarfs the multi-ms dispatch jitter of this environment's TPU relay:
+    round 4 published a physically impossible 0.09 ms for a ~0.6 ms-floor
+    transformer because 10 iterations of a sub-ms op left tN - t1 inside
+    the noise (VERDICT r4 weak #1). Now the measured window tN - t1 must
+    exceed `min_window_s` AND the single-iteration baseline t1 (the
+    jitter scale); otherwise `iters` is grown (4x per attempt, up to
+    `max_iters`, each a fresh scan-length compile) until it does.
+
+    `perturb_ints=True` additionally perturbs INTEGER array leaves (by
+    `i % 2` in their own dtype, wrapping). Required when the hot data
+    input is integer (uint8 camera frames): with only float leaves
+    (= the weights) perturbed, whole image-dependent stages are
+    loop-constant and XLA executes them once — the round-4 harness
+    measured a 147 ms/batch pipeline at 12.6 ms this way (docs/DESIGN.md
+    section 10e). Off by default because flipping integer leaves can
+    change the SEMANTICS of index-driven programs (gather targets,
+    early-stop residuals); turn it on whenever integer leaves carry
+    bulk data rather than indices.
     """
     import jax.numpy as jnp
 
     flat, tree = jax.tree_util.tree_flatten(args)
-    f_idx = next((i for i, a in enumerate(flat)
-                  if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
-                                                            jnp.floating)),
-                 None)
-    if f_idx is None:
+    f_idxs = [i for i, a in enumerate(flat)
+              if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                        jnp.floating)]
+    i_idxs = [i for i, a in enumerate(flat)
+              if perturb_ints and hasattr(a, "dtype")
+              and jnp.issubdtype(a.dtype, jnp.integer)]
+    if not f_idxs and not i_idxs:
         # nothing to perturb -> the scan body would be loop-invariant and
         # XLA would hoist it; fall back to the wall-clock dispatch loop
         return time_fn(fn, *args, iters=iters)
@@ -80,7 +104,17 @@ def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
         def body(carry, i):
             acc = carry
             cur = list(xs)
-            cur[f_idx] = cur[f_idx] + (i * 1e-12).astype(cur[f_idx].dtype)
+            # perturb EVERY floating leaf, not just the first: with one
+            # perturbed leaf, all computation not data-downstream of that
+            # particular leaf is loop-invariant and XLA hoists it out of
+            # the scan — exactly how round 4's LighterGlue "0.088 ms" was
+            # measured (the alphabetically-first param leaf fed only the
+            # tail of the network, so the 6 transformer layers ran ONCE)
+            for f_idx in f_idxs:
+                cur[f_idx] = cur[f_idx] + (i * 1e-12).astype(
+                    cur[f_idx].dtype)
+            for n_idx in i_idxs:
+                cur[n_idx] = cur[n_idx] + (i % 2).astype(cur[n_idx].dtype)
             out = fn(*jax.tree_util.tree_unflatten(tree, cur))
             # barrier forces every output leaf to fully materialize (without
             # it XLA dead-code-eliminates all but the single element the
@@ -107,13 +141,52 @@ def scan_time(fn: Callable, *args, iters: int = 20, warmup: int = 1) -> float:
     for _ in range(max(warmup, 1)):        # compile both lengths
         np.asarray(runN(iters, flat))
         np.asarray(runN(1, flat))
-    t0 = time.perf_counter()
-    np.asarray(runN(iters, flat))
-    tN = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(runN(1, flat))
-    t1 = time.perf_counter() - t0
+    # dispatch+readback baseline: min of 3 single-iteration scans (min, not
+    # mean — jitter is one-sided, a slow outlier would fake a huge window)
+    t1 = min(_timed(lambda: np.asarray(runN(1, flat))) for _ in range(3))
+    while True:
+        tN = _timed(lambda: np.asarray(runN(iters, flat)))
+        window_ok = (tN - t1) >= max(min_window_s, t1)
+        if window_ok or iters >= max_iters:
+            break
+        iters = min(iters * 4, max_iters)
+        np.asarray(runN(iters, flat))      # compile + warm the new length
     return max(tN - t1, 1e-9) / (iters - 1)
+
+
+def _timed(thunk: Callable[[], object]) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
+def roofline_floor_s(jitted, *args, dtype: str = "bf16",
+                     include_bytes: bool = False) -> float:
+    """Speed-of-light lower bound (seconds) for one call of a jitted
+    function, from XLA's own cost analysis of the compiled program.
+    Returns 0.0 when the backend exposes no cost analysis (the guard then
+    degrades to a no-op).
+
+    Defaults are deliberately conservative so a reading below the floor is
+    PHYSICALLY impossible rather than merely unlikely: the bf16 peak is
+    used even for f32 programs, and the HBM term is off by default because
+    XLA's "bytes accessed" counts VMEM-resident reuse and would overcount
+    the true HBM floor. Used by bench.py to refuse to publish impossible
+    measurements (VERDICT r4 weak #1: 0.09 ms for a >=0.6 ms-floor op).
+    """
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0) or 0.0)
+        peak = PEAK_BF16_FLOPS if dtype == "bf16" else PEAK_F32_FLOPS
+        floor = flops / peak
+        if include_bytes:
+            byts = float(ca.get("bytes accessed", 0.0) or 0.0)
+            floor = max(floor, byts / PEAK_HBM_BYTES)
+        return floor
+    except Exception:
+        return 0.0
 
 
 def speed_of_light(seconds: float, flops: float = 0.0, bytes_moved: float = 0.0,

@@ -67,7 +67,7 @@ def main():
                          ("conv_transpose", D.heatmap_decode_convt),
                          ("plane_stack", D.heatmap_decode_planes)]:
             f = jax.jit(fn)
-            dt = scan_time(f, logits, iters=args.iters)
+            dt = scan_time(f, logits, iters=args.iters, perturb_ints=True)
             emit(stage="decode", variant=name, shape=shape,
                  ms_per_batch=dt * 1e3)
 
@@ -105,7 +105,8 @@ def main():
                     f = jax.jit(lambda p, x: EX.detect_and_compute(
                         p, x, top_k=K, detection_threshold=0.05,
                         compute_dtype=jnp.bfloat16))
-                    dt = scan_time(f, params, imgs, iters=args.iters)
+                    dt = scan_time(f, params, imgs, iters=args.iters,
+                               perturb_ints=True)
                     emit(stage="e2e", variant=f"decode={name}", shape=shape,
                          ms_per_batch=dt * 1e3, fps=B / dt)
             finally:

@@ -22,7 +22,9 @@ def timeit(fn, *args, n=20, warmup=3):
     # in-program scan timing: immune to the relay's unreliable
     # block_until_ready (see utils.profiling.scan_time docstring)
     from accelerated_features_tpu.utils.profiling import scan_time
-    return scan_time(fn, *args, iters=n)
+    # perturb_ints: uint8 frames must vary per in-scan iteration or
+    # image-dependent stages hoist out of the loop (DESIGN.md 10e)
+    return scan_time(fn, *args, iters=n, perturb_ints=True)
 
 
 def main():
@@ -36,6 +38,12 @@ def main():
                     help="uint8 = camera-native frames (the /255 runs "
                          "inside the jitted pipeline via to_unit_float; "
                          "bench.py measures this configuration)")
+    ap.add_argument("--channels", type=int, default=1, choices=[1, 3],
+                    help="input channel count. (B,H,W,1) uint8 measures "
+                         "the degenerate-tiling case the public API now "
+                         "avoids by expanding gray to the RGB layout "
+                         "host-side (api.parse_input, VERDICT r4 #4); "
+                         "3 measures what API users actually get")
     args = ap.parse_args()
     W, H = map(int, args.res.split("x"))
     B, K = args.batch, args.top_k
@@ -52,10 +60,11 @@ def main():
     params = fold_batchnorm(init_xfeat_params(jax.random.key(0)))
     rng = np.random.default_rng(0)
     from accelerated_features_tpu.ops.resize import to_unit_float
+    C = args.channels
     if args.input_dtype == "uint8":
-        x = jnp.asarray(rng.integers(0, 256, (B, H, W, 1)), jnp.uint8)
+        x = jnp.asarray(rng.integers(0, 256, (B, H, W, C)), jnp.uint8)
     else:
-        x = jnp.asarray(rng.uniform(0, 1, (B, H, W, 1)), jnp.float32)
+        x = jnp.asarray(rng.uniform(0, 1, (B, H, W, C)), jnp.float32)
 
     dev = jax.devices()[0]
     print(f"# backend={jax.default_backend()} dev={dev.device_kind} "

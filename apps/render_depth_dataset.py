@@ -95,7 +95,14 @@ def main():
     ap.add_argument("--quads", type=int, default=12)
     ap.add_argument("--textures_per_scene", type=int, default=16)
     ap.add_argument("--min_overlap", type=float, default=0.3)
+    ap.add_argument("--scene_offset", type=int, default=0,
+                    help="offset added to scene numbering so several "
+                         "renderer processes can shard one dataset")
+    ap.add_argument("--baseline", type=str, default="0.08,0.35",
+                    help="min,max camera baseline as a fraction of the "
+                         "scene distance (wider = harder pairs)")
     args = ap.parse_args()
+    b_lo, b_hi = map(float, args.baseline.split(","))
 
     w, h = map(int, args.res.split("x"))
     rng = np.random.default_rng(args.seed)
@@ -112,8 +119,10 @@ def main():
         train_scene = si < args.scenes
         texs = load_textures(args.textures, args.textures_per_scene, rng)
         views = render_scene_views(rng, texs, args.views, w, h,
-                                   n_quads=args.quads)
-        name = f"scene_{si:04d}" if train_scene else f"holdout_{si:04d}"
+                                   n_quads=args.quads,
+                                   baseline_frac=(b_lo, b_hi))
+        sn = si + args.scene_offset
+        name = f"scene_{sn:04d}" if train_scene else f"holdout_{sn:04d}"
         scene_dir = os.path.join(md_root, "rendered", name)
         img_paths, depth_paths = write_scene(scene_dir, views, h5py)
 

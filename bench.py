@@ -31,6 +31,17 @@ import jax.numpy as jnp
 BASELINE_FPS = 1400.0  # reference README.md:52 (RTX 4090, batched VGA)
 
 
+def guarded_ms(measured_s, floor_s):
+    """Refuse to publish a latency below the speed-of-light floor of the
+    compiled program (VERDICT r4 weak #1: a noise-dominated tN-t1
+    subtraction published 0.09 ms for a >=0.6 ms-floor op). Returns the
+    rounded milliseconds, or an error string when below physics."""
+    if floor_s > 0.0 and measured_s < floor_s:
+        return (f"error: below SoL ({measured_s * 1e3:.3f} ms < "
+                f"floor {floor_s * 1e3:.3f} ms)")
+    return round(measured_s * 1e3, 3)
+
+
 def main():
     from accelerated_features_tpu.models.params import (fold_batchnorm,
                                                         init_xfeat_params)
@@ -77,12 +88,21 @@ def main():
         compute_dtype=jnp.bfloat16))
 
     # primary: in-program steady-state (one dispatch, scan of `iters`)
-    from accelerated_features_tpu.utils.profiling import scan_time
+    from accelerated_features_tpu.utils.profiling import (roofline_floor_s,
+                                                          scan_time)
     # the full output dict is returned so the barrier inside scan_time
     # materializes every pipeline product (returning a single leaf would
-    # let XLA dead-code-eliminate the descriptor sampling)
-    dt = scan_time(fn, params, images, iters=iters)
+    # let XLA dead-code-eliminate the descriptor sampling).
+    # perturb_ints=True: the uint8 FRAMES must change every in-scan
+    # iteration — with only the float weights perturbed, image-dependent
+    # work is loop-constant and XLA runs it once (this is how round 4
+    # published 5094 FPS for a pipeline whose honest rate was 435 FPS
+    # with the then-default convt decode; DESIGN.md section 10e)
+    dt = scan_time(fn, params, images, iters=iters, perturb_ints=True)
     fps = batch / dt
+    floor_main = roofline_floor_s(fn, params, images)
+    if floor_main > 0.0 and dt < floor_main:
+        fps = 0.0  # published as an error, never as a fake record
 
     # secondary: conventional dispatch loop (includes relay round-trips)
     out = fn(params, images)
@@ -103,7 +123,8 @@ def main():
             imgs_acc = jax.device_put(jnp.asarray(
                 rng.integers(0, 256, (batch, 768, 1024, 3)), jnp.uint8), dev)
             acc_fps = batch / scan_time(fn, params, imgs_acc,
-                                        iters=max(iters // 2, 5))
+                                        iters=max(iters // 2, 5),
+                                        perturb_ints=True)
         except Exception:
             pass
 
@@ -114,6 +135,8 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "dispatch_loop_fps": round(disp_fps, 1),
     }
+    if fps == 0.0:
+        result["error"] = guarded_ms(dt, floor_main)
     if acc_fps is not None:
         result["accurate_1024x768_fps"] = round(acc_fps, 1)
 
@@ -133,8 +156,9 @@ def main():
             d2 = jax.device_put(jnp.asarray(
                 rng.normal(size=(K, 64)).astype(np.float32)), dev)
             fm = jax.jit(lambda a, b: mnn_match_fused(a, b))
-            result["fused_mnn_k8192_ms"] = round(
-                _st(fm, d1, d2, iters=iters) * 1e3, 3)
+            result["fused_mnn_k8192_ms"] = guarded_ms(
+                _st(fm, d1, d2, iters=iters),
+                roofline_floor_s(fm, d1, d2))
         except Exception as e:  # pragma: no cover
             result["fused_mnn_k8192_ms"] = f"error: {e}"
         try:
@@ -151,9 +175,12 @@ def main():
             size = jax.device_put(jnp.asarray([[640.0, 480.0]]), dev)
             fl = jax.jit(lambda p, k, d: lighterglue_forward(
                 p, k, k, d, d, size, size))
-            result["lighterglue_k2048_ms"] = round(
-                _st(fl, lparams, kpts, descs, iters=max(iters // 2, 5))
-                * 1e3, 3)
+            # sub-ms op: start at >=100 in-scan iterations so tN-t1 sits
+            # far above relay dispatch jitter (r4 published 0.09 ms off a
+            # 10-iteration window; scan_time also self-scales now)
+            result["lighterglue_k2048_ms"] = guarded_ms(
+                _st(fl, lparams, kpts, descs, iters=max(iters * 5, 100)),
+                roofline_floor_s(fl, lparams, kpts, descs))
         except Exception as e:  # pragma: no cover
             result["lighterglue_k2048_ms"] = f"error: {e}"
         try:
@@ -168,7 +195,12 @@ def main():
             prob = jax.device_put(_bs._synth_ba(50, 5000, 4), dev)
             fb = jax.jit(lambda q: ba_step(q, 1e-3, cg_iters=30)[0])
             dt_ba = _st(fb, prob, iters=max(iters // 2, 5))
-            result["ba_lm_iters_per_s_c50_p5000"] = round(1.0 / dt_ba, 1)
+            floor_ba = roofline_floor_s(fb, prob)
+            if floor_ba > 0.0 and dt_ba < floor_ba:
+                result["ba_lm_iters_per_s_c50_p5000"] = guarded_ms(
+                    dt_ba, floor_ba)
+            else:
+                result["ba_lm_iters_per_s_c50_p5000"] = round(1.0 / dt_ba, 1)
         except Exception as e:  # pragma: no cover
             result["ba_lm_iters_per_s_c50_p5000"] = f"error: {e}"
 

@@ -266,3 +266,21 @@ def test_heatmap_decode_variants_bit_exact():
                                       np.asarray(heatmap_decode_convt(logits)))
         np.testing.assert_array_equal(np.asarray(a),
                                       np.asarray(heatmap_decode_planes(logits)))
+
+
+def test_heatmap_decode_auto_env_validation(monkeypatch):
+    """A typo'd XFEAT_DECODE raises a ValueError naming the valid set at
+    dispatch time instead of a bare KeyError deep inside jit (ADVICE r4);
+    valid values dispatch to their bit-exact variant."""
+    import pytest
+
+    from accelerated_features_tpu.ops.detect import (heatmap_decode,
+                                                     heatmap_decode_auto)
+    logits = jnp.asarray(np.random.default_rng(0).normal(
+        0, 2, (1, 8, 10, 65)).astype(np.float32))
+    monkeypatch.setenv("XFEAT_DECODE", "convT")
+    with pytest.raises(ValueError, match="convT.*reshape|reshape.*convT"):
+        heatmap_decode_auto(logits)
+    monkeypatch.setenv("XFEAT_DECODE", "planes")
+    np.testing.assert_array_equal(np.asarray(heatmap_decode_auto(logits)),
+                                  np.asarray(heatmap_decode(logits)))

@@ -262,22 +262,42 @@ def test_ba_collective_accounting_matches_hlo():
                 n *= d
             sizes.append(n)
     assert sizes, "no all-reduce found in HLO"
-    # every payload is camera-space: C*36 (U), C*6 (b_c / rhs / matvec) or
-    # scalar (cost) — possibly combined by the all-reduce combiner, so
-    # check each flattened component individually
+    # every payload is camera-space: C*36 (U / S_diag), C*6 (b_c / rhs /
+    # matvec) or scalar (cost) — possibly combined by the all-reduce
+    # combiner, so check each flattened component individually
     for n in sizes:
         assert n in (C * 36, C * 6, 1), f"non-camera-space all-reduce: {n}"
-    # inventory: U once, C*6 at least thrice (b_c, rhs, cg matvec),
-    # at least one scalar cost
-    assert sizes.count(C * 36) >= 1
-    assert sizes.count(C * 6) >= 3
-    assert sizes.count(1) >= 1
+    # EXACT static inventory (ADVICE r4: >= counts let drift slip by).
+    # The LM loop and the CG loop are lax control flow, so each psum
+    # appears ONCE in the HLO text however many times it executes:
+    #   C*36 x2 — U and the block-Jacobi S_diag (precond=True default)
+    #   C*6  x3 — b_c, rhs, the cg_solve matvec back-reduce
+    #   1    x2 — build cost + accept-test cost scalars
+    assert sizes.count(C * 36) == 2, sizes
+    assert sizes.count(C * 6) == 3, sizes
+    assert sizes.count(1) == 2, sizes
 
     acct = collective_accounting(C, cg_iters=5)
     assert acct["per_lm_iteration"] == (
-        acct["U"] + acct["b_c"] + acct["rhs"] + acct["cg_matvecs"]
-        + acct["cost_scalars"])
+        acct["U"] + acct["S_diag"] + acct["b_c"] + acct["rhs"]
+        + acct["cg_matvecs"] + acct["cost_scalars"])
     assert acct["U"] == C * 36 * 4 and acct["cg_matvecs"] == 5 * C * 6 * 4
+    # the preconditioner's S_diag psum is counted (ADVICE r4) and
+    # vanishes when precond=False
+    assert acct["S_diag"] == C * 36 * 4
+    acct_np = collective_accounting(C, cg_iters=5, precond=False)
+    assert acct_np["S_diag"] == 0
+    assert acct["per_lm_iteration"] - acct_np["per_lm_iteration"] \
+        == C * 36 * 4
+
+    from accelerated_features_tpu.parallel.ba import predicted_weak_scaling
+    r = predicted_weak_scaling(n_cams=C, n_pts_per_dev=64, obs_per_pt=4.0,
+                               ndev=8, cg_iters=5)
+    assert r["n_collectives_per_iter"] == 5 + 5 + 1   # + S_diag psum
+    r_np = predicted_weak_scaling(n_cams=C, n_pts_per_dev=64,
+                                  obs_per_pt=4.0, ndev=8, cg_iters=5,
+                                  precond=False)
+    assert r_np["n_collectives_per_iter"] == 5 + 5
 
 
 def test_ba_weak_scaling_prediction():
