@@ -1,5 +1,6 @@
-from .pose import (estimate_homography, estimate_relative_pose, five_point,
-                   posekit_available, sampson_sq)
+from .pose import (decompose_homography, estimate_homography,
+                   estimate_relative_pose, five_point, posekit_available,
+                   sampson_sq)
 
 
 def get_pose_estimator(backend: str = "posekit"):
@@ -20,5 +21,6 @@ def get_pose_estimator(backend: str = "posekit"):
                      "(expected 'posekit' or 'tpu')")
 
 
-__all__ = ["estimate_relative_pose", "estimate_homography", "five_point",
-           "sampson_sq", "posekit_available", "get_pose_estimator"]
+__all__ = ["estimate_relative_pose", "estimate_homography",
+           "decompose_homography", "five_point", "sampson_sq",
+           "posekit_available", "get_pose_estimator"]

@@ -185,3 +185,77 @@ def sampson_sq(E: np.ndarray, p0: np.ndarray, p1: np.ndarray) -> float:
     p0 = np.ascontiguousarray(p0, np.float64)
     p1 = np.ascontiguousarray(p1, np.float64)
     return float(_lib().pk_sampson_sq(_cptr(E), _cptr(p0), _cptr(p1)))
+
+
+def decompose_homography(H: np.ndarray, K0: np.ndarray, K1: np.ndarray,
+                         pts0: Optional[np.ndarray] = None,
+                         pts1: Optional[np.ndarray] = None
+                         ) -> list:
+    """Faugeras SVD decomposition of a pixel homography into rigid-motion
+    candidates [(R, t_unit_or_zero, n), ...].
+
+    Planar scenes make the essential matrix DEGENERATE — a 2-parameter
+    family of E fits coplanar correspondences, so 5-pt LO-RANSAC can
+    converge to a wrong member with full inlier support (measured on the
+    rendered SLAM benchmark: near-identity rotations with hundreds of
+    "inliers"). The classical remedy — what ORB-SLAM-style trackers do,
+    and what this framework's SLAM front end uses via
+    `sfm.slam.IncrementalSlam` — is to ALSO fit a homography and, when it
+    explains the matches as well as E does, decompose H = d*R + t*n^T
+    instead (Faugeras & Lustman 1988). The reference has no SLAM layer;
+    nearest anchor is its two-view pose eval (megadepth1500.py:98-113).
+
+    `pts0/pts1` (pixel coords) fix the sign of the calibrated homography
+    (x1^T Hn x0 > 0 for points in front); a few inliers suffice. The
+    translation is returned unit-normalized (its true magnitude is
+    |t|/d, unrecoverable from H alone); a near-pure-rotation H returns a
+    single candidate with t = 0.
+    """
+    Hn = np.linalg.inv(np.asarray(K1, np.float64)) \
+        @ np.asarray(H, np.float64) @ np.asarray(K0, np.float64)
+    if pts0 is not None and len(pts0):
+        x0 = np.concatenate([np.asarray(pts0, np.float64)[:8],
+                             np.ones((min(len(pts0), 8), 1))], axis=1)
+        x1 = np.concatenate([np.asarray(pts1, np.float64)[:8],
+                             np.ones((min(len(pts1), 8), 1))], axis=1)
+        x0n = x0 @ np.linalg.inv(K0).T
+        x1n = x1 @ np.linalg.inv(K1).T
+        sgn = np.sign(np.median(np.sum(x1n * (x0n @ Hn.T), axis=1)))
+        if sgn != 0:
+            Hn = Hn * sgn
+
+    U, S, Vt = np.linalg.svd(Hn)
+    d1, d2, d3 = S
+    if d1 / max(d2, 1e-12) < 1.0001 or d2 / max(d3, 1e-12) < 1.0001:
+        # (near-)pure rotation: H/d2 is (near) orthogonal; project to SO(3)
+        Un, _, Vtn = np.linalg.svd(Hn / d2)
+        Rr = Un @ np.diag([1.0, 1.0,
+                           np.sign(np.linalg.det(Un @ Vtn))]) @ Vtn
+        return [(Rr, np.zeros(3), np.array([0.0, 0.0, 1.0]))]
+
+    s = np.linalg.det(U) * np.linalg.det(Vt)
+    x1_ = np.sqrt((d1 ** 2 - d2 ** 2) / (d1 ** 2 - d3 ** 2))
+    x3_ = np.sqrt((d2 ** 2 - d3 ** 2) / (d1 ** 2 - d3 ** 2))
+    sin_t = np.sqrt((d1 ** 2 - d2 ** 2) * (d2 ** 2 - d3 ** 2)) \
+        / ((d1 + d3) * d2)
+    cos_t = (d2 ** 2 + d1 * d3) / ((d1 + d3) * d2)
+    out = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            st = e1 * e3 * sin_t
+            Rp = np.array([[cos_t, 0.0, -st],
+                           [0.0, 1.0, 0.0],
+                           [st, 0.0, cos_t]])
+            tp = (d1 - d3) * np.array([e1 * x1_, 0.0, -e3 * x3_])
+            np_ = np.array([e1 * x1_, 0.0, e3 * x3_])
+            R = s * (U @ Rp @ Vt)
+            t = U @ tp
+            n = Vt.T @ np_
+            tn = np.linalg.norm(t)
+            if tn > 1e-12:
+                t = t / tn
+            # report the normal on the +z (visible) side
+            if n[2] < 0:
+                n, t = -n, -t if tn > 1e-12 else t
+            out.append((R, t, n))
+    return out

@@ -36,7 +36,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..geometry import estimate_relative_pose
+from ..geometry import (decompose_homography, estimate_homography,
+                        estimate_relative_pose)
 from .ba import BAProblem, bundle_adjust, reprojection_rmse
 from .lie import se3_compose, se3_from_Rt
 from .posegraph import PoseGraph, optimize_pose_graph
@@ -53,12 +54,23 @@ class SlamConfig:
     cg_iters: int = 25
     ransac_px: float = 2.0
     min_track_length: int = 2
+    # windowed-BA input gating: observations whose triangulated point
+    # sits closer than `ba_min_depth` to (or behind) any observing
+    # camera, or reprojects worse than `ba_max_reproj_px`, are dropped
+    # before the solve — mismatched tracks chained across frames
+    # otherwise seed BA with ~1e8-px residuals it cannot recover from
+    ba_min_depth: float = 0.05
+    ba_max_reproj_px: float = 20.0
     # loop closure / relocalization
     enable_loop_closure: bool = True
     loop_min_gap: int = 4           # skip this many most-recent keyframes
     loop_candidates: int = 3        # geometric checks per new keyframe
     loop_min_sim: float = 0.6       # global-descriptor cosine gate
-    loop_min_inliers: int = 30      # RANSAC inliers to accept a loop
+    # 30 inliers verified loop edges with 45-60 deg rotation error on the
+    # rendered benchmark (wide-baseline pairs with few, plane-concentrated
+    # matches); 80 keeps only edges whose pose quality matches odometry's
+    loop_min_inliers: int = 80      # RANSAC inliers to accept a loop
+    loop_min_scale_votes: int = 5   # stored-depth votes to trust edge scale
     reloc_min_inliers: int = 25     # RANSAC inliers to accept a reloc
 
 
@@ -68,6 +80,29 @@ class Keyframe:
     features: Dict[str, np.ndarray]  # 'keypoints' (N,2), 'descriptors'
     pose6: np.ndarray                # world->cam
     global_desc: np.ndarray          # pooled retrieval descriptor
+    frame_id: int = -1               # source frame number (for GT lookup)
+
+
+def _two_view_depths(k0: np.ndarray, k1: np.ndarray, K: np.ndarray,
+                     R: np.ndarray, t: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized two-view DLT triangulation of correspondences for
+    cameras P0 = K[I|0], P1 = K[R|t]; returns per-point z-depths in each
+    camera frame (host-side numpy — this is tracker bookkeeping, not the
+    device compute path)."""
+    P0 = K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    P1 = K @ np.hstack([R, t.reshape(3, 1)])
+    A = np.empty((len(k0), 4, 4), np.float64)
+    A[:, 0] = k0[:, 0, None] * P0[2] - P0[0]
+    A[:, 1] = k0[:, 1, None] * P0[2] - P0[1]
+    A[:, 2] = k1[:, 0, None] * P1[2] - P1[0]
+    A[:, 3] = k1[:, 1, None] * P1[2] - P1[1]
+    _, _, vt = np.linalg.svd(A)
+    h = vt[:, -1, :]
+    w = np.where(np.abs(h[:, 3]) > 1e-12, h[:, 3], 1e-12)
+    X = h[:, :3] / w[:, None]
+    d1 = X @ R[2] + t[2]
+    return X[:, 2], d1
 
 
 def _global_desc(feats: Dict[str, np.ndarray]) -> np.ndarray:
@@ -107,6 +142,14 @@ class IncrementalSlam:
         self.n_relocalizations = 0
         self.last_ba_rmse: Optional[float] = None
         self._ba_cache = {}
+        # monocular scale propagation: per-keyframe {keypoint idx ->
+        # triangulated z-depth in that keyframe's camera frame}, written
+        # when the keyframe is inserted and consumed to rescale the
+        # unit-norm essential-matrix translation of every later edge
+        # anchored on it (without this, each edge carries its own
+        # arbitrary scale and windowed BA fights inconsistent geometry)
+        self._kf_depths: Dict[int, Dict[int, float]] = {}
+        self._pending_depths: Dict[int, float] = {}
 
     # ------------------------------------------------------------ defaults
 
@@ -148,14 +191,17 @@ class IncrementalSlam:
         n_inl = 0
         inlier_mask = np.zeros(n_matches, bool)
         if n_matches >= self.cfg.min_matches:
-            res = estimate_relative_pose(
-                kf.features["keypoints"][i0], feats["keypoints"][i1],
-                self.K, self.K, max_epipolar_error=self.cfg.ransac_px)
+            res = self._estimate_edge(
+                np.asarray(kf.features["keypoints"])[i0],
+                np.asarray(feats["keypoints"])[i1])
             if res is not None:
                 R, t, inlier_mask = res
                 n_inl = int(inlier_mask.sum())
+                s, self._pending_depths, _ = self._edge_scale(
+                    kf, i0, i1, feats, R, t, inlier_mask)
                 rel = np.asarray(se3_from_Rt(
-                    jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32)))
+                    jnp.asarray(R, jnp.float32),
+                    jnp.asarray(s * t, jnp.float32)))
 
         if n_inl < 8:
             # tracking lost -> relocalize against the whole keyframe set
@@ -174,14 +220,19 @@ class IncrementalSlam:
         if is_kf and n_inl >= 8:
             prev = kf.index
             new_idx = self._insert_keyframe(feats, self.current_pose)
+            self._kf_depths[new_idx] = self._pending_depths
             mask_idx = np.nonzero(inlier_mask)[0]
             self.pair_matches[(prev, new_idx)] = (i0[mask_idx], i1[mask_idx])
             self.graph.add_edge(prev, new_idx, rel,
                                 weight=float(max(n_inl, 1)))
+            # window BA FIRST: it refreshes the new keyframe's depth map
+            # from the BA-consistent local geometry, which the loop
+            # verifier needs to resolve the loop edge's monocular scale
+            # (loop pairs rarely share enough points with the distant
+            # anchor's bookkept subset alone)
+            self._window_ba()
             if self.cfg.enable_loop_closure:
                 loop_closed = self._try_loop_closure(new_idx, match)
-            if not loop_closed:
-                self._window_ba()
         return {"pose6": self.current_pose.copy(), "is_keyframe": bool(is_kf),
                 "n_inliers": n_inl, "loop_closed": loop_closed,
                 "relocalized": relocalized}
@@ -196,20 +247,174 @@ class IncrementalSlam:
         sims.sort(reverse=True)
         return [idx for s, idx in sims[:k] if s >= self.cfg.loop_min_sim]
 
-    def _verify_pair(self, kf_old: Keyframe, feats, match):
-        """MNN + LO-RANSAC geometric verification against one keyframe."""
+    def _estimate_edge(self, p0: np.ndarray, p1: np.ndarray):
+        """Two-view pose with E/H MODEL SELECTION — the planar-degeneracy
+        defence every serious monocular tracker needs (ORB-SLAM-style).
+
+        A dominant scene plane makes the essential matrix ambiguous (a
+        2-parameter family of E fits coplanar points), so 5-pt LO-RANSAC
+        can return a confidently wrong pose (measured on the rendered
+        SLAM benchmark: near-identity rotations with hundreds of
+        inliers). Fit BOTH models, decompose the homography
+        (geometry.decompose_homography), and score every candidate pose
+        by cheirality + epipolar support over ALL matches; return the
+        winner as (R, t, mask). Returns None when nothing verifies."""
+        cfg = self.cfg
+        cands = []          # (R, t, mask_for_bookkeeping)
+        res_e = estimate_relative_pose(
+            p0, p1, self.K, self.K, max_epipolar_error=cfg.ransac_px)
+        if res_e is not None:
+            cands.append(res_e)
+        res_h = estimate_homography(p0, p1, thresh=max(cfg.ransac_px, 2.0))
+        if res_h is not None and int(res_h[1].sum()) >= 12:
+            H, hmask = res_h
+            hidx = np.nonzero(hmask)[0]
+            for (R, t, _n) in decompose_homography(
+                    H, self.K, self.K, p0[hidx], p1[hidx]):
+                cands.append((R, t, hmask))
+        if not cands:
+            return None
+
+        # score: matches that are in FRONT of both cameras and on the
+        # epipolar model (pixel sampson err below the RANSAC threshold)
+        Kinv = np.linalg.inv(self.K)
+        x0 = np.concatenate([p0, np.ones((len(p0), 1))], 1) @ Kinv.T
+        x1 = np.concatenate([p1, np.ones((len(p1), 1))], 1) @ Kinv.T
+        favg = 0.5 * (self.K[0, 0] + self.K[1, 1])
+        thr = cfg.ransac_px / favg
+
+        def support(R, t):
+            """(count, mask) of matches in FRONT of both cameras and on
+            the epipolar model implied by (R, t)."""
+            tn = np.linalg.norm(t)
+            if tn < 1e-9:
+                # pure rotation: rotation-transfer error replaces epipolar
+                xr = x0 @ R.T
+                xr = xr / np.maximum(np.abs(xr[:, 2:]), 1e-12)
+                err = np.linalg.norm((xr - x1)[:, :2], axis=1)
+                m = err < thr
+                return int(m.sum()), m
+            E = np.array([[0, -t[2], t[1]],
+                          [t[2], 0, -t[0]],
+                          [-t[1], t[0], 0]]) @ R
+            Ex0 = x0 @ E.T
+            Etx1 = x1 @ E
+            num = np.sum(x1 * Ex0, axis=1) ** 2
+            den = Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2 \
+                + Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2
+            samp = num / np.maximum(den, 1e-18)
+            on_model = samp < thr ** 2
+            d0, d1 = _two_view_depths(p0, p1, self.K, R, t)
+            m = on_model & (d0 > 1e-9) & (d1 > 1e-9)
+            return int(m.sum()), m
+
+        # candidate 0 is the E-pose: prefer it on score ties (easy
+        # small-motion edges saturate every candidate's support, and an
+        # H decomposition winning a tie would hand back its plane-subset
+        # mask, starving downstream scale bookkeeping)
+        best_k, best_n, best_mask = 0, -1, None
+        for k, (R, t, _m) in enumerate(cands):
+            n, m = support(R, t)
+            if n > best_n:
+                best_k, best_n, best_mask = k, n, m
+        R, t, _ = cands[best_k]
+        # the winner's support over ALL matches is the richest consistent
+        # inlier set — use it as the returned mask (the per-model RANSAC
+        # mask can be a small subset, e.g. only the points on H's plane)
+        return R, t, np.asarray(best_mask, bool)
+
+    def _edge_scale(self, kf_anchor: Keyframe, i0, i1, feats,
+                    R: np.ndarray, t: np.ndarray, mask: np.ndarray,
+                    feats_kf_index: Optional[int] = None
+                    ) -> Tuple[float, Dict[int, float], int]:
+        """Monocular scale for one edge: triangulate the inliers under
+        the unit-norm (R, t), then pick s = median(stored_depth /
+        unit_depth) over keypoints of the anchor keyframe whose depths
+        are known. The first edge (no stored depths) defines the global
+        scale with s = 1 — ATE alignment is similarity-based so the free
+        gauge is harmless. The anchor's depth map is ENRICHED in place
+        with the newly triangulated depths (missing keys only): the
+        bootstrap keyframe starts with no map at all, and without
+        enrichment every later loop edge anchored on it would fall back
+        to unit scale and corrupt the pose graph (measured: a 6x scale
+        flip after one relocalization). Returns (s, the new frame's
+        scaled depth map keyed by its keypoint indices, n_shared = how
+        many stored depths voted — 0 means the scale is a GUESS)."""
+        idx = np.nonzero(np.asarray(mask, bool))[0]
+        if idx.size == 0 or np.linalg.norm(t) < 1e-9:
+            # no inliers, or a pure-rotation edge (zero baseline
+            # triangulates nothing): keep scale 1 and carry no depths
+            return 1.0, {}, 0
+        k0 = np.asarray(kf_anchor.features["keypoints"])[i0[idx]]
+        k1 = np.asarray(feats["keypoints"])[i1[idx]]
+        d0, d1 = _two_view_depths(k0, k1, self.K,
+                                  np.asarray(R, np.float64),
+                                  np.asarray(t, np.float64))
+        pos = (d0 > 1e-6) & (d1 > 1e-6)
+        stored = self._kf_depths.setdefault(kf_anchor.index, {})
+        # scale votes from BOTH endpoints: the anchor's depth map keyed by
+        # i0, and — when the other endpoint is itself a keyframe (loop
+        # edges) — that keyframe's map keyed by i1. A loop pair often
+        # shares few points with the anchor's bookkept subset but many
+        # with the new keyframe's (its odometry edge covers the same
+        # viewpoint), so one-sided resolution starves loop edges.
+        ratios = []
+        if stored:
+            prev = np.array([stored.get(int(i), np.nan) for i in i0[idx]])
+            sel = pos & np.isfinite(prev)
+            ratios.append(prev[sel] / d0[sel])
+        if feats_kf_index is not None:
+            stored1 = self._kf_depths.get(feats_kf_index, {})
+            if stored1:
+                prev1 = np.array([stored1.get(int(j), np.nan)
+                                  for j in i1[idx]])
+                sel1 = pos & np.isfinite(prev1)
+                ratios.append(prev1[sel1] / d1[sel1])
+        votes = np.concatenate(ratios) if ratios else np.zeros(0)
+        s, n_shared = 1.0, int(len(votes))
+        resolved = False
+        if n_shared >= 5:
+            s = float(np.clip(np.median(votes), 0.05, 20.0))
+            resolved = True
+        elif kf_anchor.index == 0 and not stored:
+            # bootstrap anchor: its first edge DEFINES the global scale
+            n_shared = int(pos.sum())
+            resolved = True
+        if resolved:
+            # enrich the anchor's map ONLY with scale-resolved depths:
+            # an unresolved edge triangulates at its own arbitrary unit
+            # baseline, and storing those poisons the map — measured as
+            # multiplicative scale runaway (|t| climbing to the 20x clip)
+            for i, dv, p in zip(i0[idx], d0, pos):
+                if p:
+                    stored.setdefault(int(i), float(s * dv))
+        new_depths = {int(j): float(s * dv)
+                      for j, dv, p in zip(i1[idx], d1, pos) if p} \
+            if resolved else {}
+        return s, new_depths, n_shared
+
+    def _verify_pair(self, kf_old: Keyframe, feats, match,
+                     feats_kf_index: Optional[int] = None):
+        """MNN + LO-RANSAC geometric verification against one keyframe.
+        The returned relative pose carries the propagated monocular scale
+        (anchored on kf_old's stored depths, plus the other endpoint's
+        when it is itself a keyframe)."""
         i0, i1 = match(kf_old.features, feats)
         if len(i0) < self.cfg.min_matches:
             return None
-        res = estimate_relative_pose(
-            kf_old.features["keypoints"][i0], feats["keypoints"][i1],
-            self.K, self.K, max_epipolar_error=self.cfg.ransac_px)
+        res = self._estimate_edge(
+            np.asarray(kf_old.features["keypoints"])[i0],
+            np.asarray(feats["keypoints"])[i1])
         if res is None:
             return None
         R, t, mask = res
+        s, pending, n_shared = self._edge_scale(
+            kf_old, i0, i1, feats, R, t, mask,
+            feats_kf_index=feats_kf_index)
+        self._pending_depths = pending
         rel = np.asarray(se3_from_Rt(jnp.asarray(R, jnp.float32),
-                                     jnp.asarray(t, jnp.float32)))
-        return i0, i1, rel, mask, int(mask.sum())
+                                     jnp.asarray(s * t, jnp.float32)))
+        return i0, i1, rel, mask, int(mask.sum()), n_shared
 
     def _try_loop_closure(self, new_idx: int, match) -> bool:
         """Detect + close a loop for the just-inserted keyframe `new_idx`:
@@ -222,10 +427,16 @@ class IncrementalSlam:
         closed = False
         for cand in cands:
             ver = self._verify_pair(self.keyframes[cand], kf_new.features,
-                                    match)
+                                    match, feats_kf_index=new_idx)
             if ver is None or ver[4] < self.cfg.loop_min_inliers:
                 continue
-            i0, i1, rel, mask, n_inl = ver
+            i0, i1, rel, mask, n_inl, n_shared = ver
+            if n_shared < self.cfg.loop_min_scale_votes:
+                # a loop edge whose translation scale could not be
+                # resolved against the anchor's depth map would inject a
+                # unit-norm guess into the pose graph — measured to
+                # corrupt the whole trajectory; skip it
+                continue
             mask_idx = np.nonzero(mask)[0]
             self.pair_matches[(cand, new_idx)] = (i0[mask_idx], i1[mask_idx])
             self.graph.add_edge(cand, new_idx, rel,
@@ -253,14 +464,17 @@ class IncrementalSlam:
             if ver is None or ver[4] < self.cfg.reloc_min_inliers:
                 continue
             if best is None or ver[4] > best[5]:
-                i0, i1, rel, mask, n_inl = ver
+                i0, i1, rel, mask, n_inl, _n_shared = ver
                 best = (self.keyframes[cand], i0, i1, rel, mask, n_inl)
         return best
 
     def _insert_keyframe(self, feats, pose6) -> int:
+        # n_frames was already incremented for the frame being processed,
+        # so the source frame number is n_frames - 1 (lets ATE harnesses
+        # index ground-truth poses at the keyframed frames)
         self.keyframes.append(Keyframe(
             len(self.keyframes), feats, np.asarray(pose6, np.float32),
-            _global_desc(feats)))
+            _global_desc(feats), frame_id=self.n_frames - 1))
         self.graph.add_keyframe(pose6)
         return len(self.keyframes) - 1
 
@@ -277,19 +491,38 @@ class IncrementalSlam:
         if not pairs:
             return
         kpts = [self.keyframes[i].features["keypoints"] for i in window]
-        obs_cam, obs_pt, obs_uv, n_tracks = build_tracks(
-            pairs, kpts, min_length=cfg.min_track_length)
+        obs_cam, obs_pt, obs_uv, n_tracks, obs_kp = build_tracks(
+            pairs, kpts, min_length=cfg.min_track_length, return_kp=True)
         if n_tracks < 8:
             return
         poses = np.stack([self.keyframes[i].pose6 for i in window])
         X = triangulate_tracks(obs_cam, obs_pt, obs_uv, n_tracks,
                                poses, self.K.astype(np.float32))
         good = np.isfinite(X).all(1) & (np.linalg.norm(X, axis=1) < 1e4)
-        keep_obs = good[obs_pt]
+
+        # observation-level gating: a wrong match chained into a track
+        # triangulates to a point that projects kilometers off (or lands
+        # behind a camera); one such observation seeds BA with ~1e8-px
+        # residuals. Gate on per-observation depth + reprojection error
+        # BEFORE the solve, then re-require min_track_length support.
+        from .lie import se3_matrix
+        Ts = np.asarray(se3_matrix(jnp.asarray(poses)))      # (W, 4, 4)
+        Xh = np.concatenate([X, np.ones((len(X), 1), X.dtype)], 1)
+        cam_pts = np.einsum("oij,oj->oi", Ts[obs_cam][:, :3, :],
+                            Xh[obs_pt])
+        z = cam_pts[:, 2]
+        proj = cam_pts @ self.K.T
+        uv = proj[:, :2] / np.maximum(proj[:, 2:], 1e-9)
+        err = np.linalg.norm(uv - obs_uv, axis=1)
+        ok_obs = good[obs_pt] & (z > cfg.ba_min_depth) \
+            & (err < cfg.ba_max_reproj_px)
+        support = np.bincount(obs_pt[ok_obs], minlength=len(X))
+        good &= support >= cfg.min_track_length
+        keep_obs = ok_obs & good[obs_pt]
         remap = np.cumsum(good) - 1
-        obs_cam, obs_pt, obs_uv = (obs_cam[keep_obs],
-                                   remap[obs_pt[keep_obs]].astype(np.int32),
-                                   obs_uv[keep_obs])
+        obs_cam, obs_pt, obs_uv, obs_kp = (
+            obs_cam[keep_obs], remap[obs_pt[keep_obs]].astype(np.int32),
+            obs_uv[keep_obs], obs_kp[keep_obs])
         X = X[good]
         if len(X) < 8:
             return
@@ -327,6 +560,24 @@ class IncrementalSlam:
             self.graph.poses[kf_idx] = new_poses[w_idx]
         self.current_pose = self.keyframes[-1].pose6.copy()
 
+        # refresh the monocular-scale depth maps from the BA solution —
+        # the BA map is the authoritative, scale-CONSISTENT local
+        # geometry, so this both widens map coverage (all tracked
+        # points, not one edge's inliers) and heals any cascade break in
+        # the edge-to-edge propagation
+        from .lie import se3_matrix as _se3m
+        Ts_ba = np.asarray(_se3m(jnp.asarray(new_poses)))
+        Xba = np.asarray(solved.points)
+        n_obs2 = len(obs_cam)
+        Xh2 = np.concatenate([Xba[obs_pt], np.ones((n_obs2, 1),
+                                                   Xba.dtype)], 1)
+        z_ba = np.einsum("oj,oj->o", Ts_ba[obs_cam][:, 2, :], Xh2)
+        for c, k, zv in zip(obs_cam.tolist(), obs_kp.tolist(),
+                            z_ba.tolist()):
+            if zv > cfg.ba_min_depth:
+                self._kf_depths.setdefault(window[c], {})[int(k)] = \
+                    float(zv)
+
     def _ba_fn(self):
         key = (self.cfg.ba_iters, self.cfg.cg_iters)
         if key not in self._ba_cache:
@@ -341,3 +592,9 @@ class IncrementalSlam:
     def trajectory(self) -> np.ndarray:
         return np.stack([kf.pose6 for kf in self.keyframes]) \
             if self.keyframes else np.zeros((0, 6), np.float32)
+
+    def keyframe_frame_ids(self) -> np.ndarray:
+        """Source frame number of each keyframe — index ground-truth pose
+        arrays with this when computing ATE (keyframes are a subset of
+        frames, so gt[:n_keyframes] would compare the wrong poses)."""
+        return np.asarray([kf.frame_id for kf in self.keyframes], np.int64)

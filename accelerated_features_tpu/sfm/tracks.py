@@ -37,18 +37,23 @@ class UnionFind:
 def build_tracks(pair_matches: Dict[Tuple[int, int],
                                     Tuple[np.ndarray, np.ndarray]],
                  keypoints: Sequence[np.ndarray],
-                 min_length: int = 2):
+                 min_length: int = 2,
+                 return_kp: bool = False):
     """Merge pairwise matches into multi-view tracks.
 
     Args:
       pair_matches: {(frame_i, frame_j): (idx_i (S,), idx_j (S,))}.
       keypoints: per-frame (N_f, 2) keypoint arrays.
       min_length: minimum distinct views per track.
+      return_kp: also return obs_kp (N,) — the keypoint index of each
+        observation in its frame (lets SLAM map BA depths back onto
+        keyframe keypoints for monocular scale bookkeeping).
 
     Returns:
       obs_cam (N,), obs_pt (N,), obs_uv (N, 2), n_tracks — observation table
-      for BAProblem. Tracks containing two observations in the SAME frame
-      (merge conflicts) are dropped, standard SfM hygiene.
+      for BAProblem (plus obs_kp (N,) when return_kp). Tracks containing
+      two observations in the SAME frame (merge conflicts) are dropped,
+      standard SfM hygiene.
     """
     uf = UnionFind()
     for (fi, fj), (ii, jj) in pair_matches.items():
@@ -61,7 +66,7 @@ def build_tracks(pair_matches: Dict[Tuple[int, int],
                     [(fj, int(b)) for b in np.asarray(jj)]:
             groups.setdefault(uf.find(node), []).append(node)
 
-    obs_cam, obs_pt, obs_uv = [], [], []
+    obs_cam, obs_pt, obs_uv, obs_kp = [], [], [], []
     n_tracks = 0
     for nodes in groups.values():
         nodes = sorted(set(nodes))
@@ -74,13 +79,16 @@ def build_tracks(pair_matches: Dict[Tuple[int, int],
             obs_cam.append(f)
             obs_pt.append(n_tracks)
             obs_uv.append(keypoints[f][k])
+            obs_kp.append(k)
         n_tracks += 1
 
     if n_tracks == 0:
-        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
-                np.zeros((0, 2), np.float32), 0)
-    return (np.asarray(obs_cam, np.int32), np.asarray(obs_pt, np.int32),
-            np.asarray(obs_uv, np.float32), n_tracks)
+        out = (np.zeros(0, np.int32), np.zeros(0, np.int32),
+               np.zeros((0, 2), np.float32), 0)
+        return out + (np.zeros(0, np.int32),) if return_kp else out
+    out = (np.asarray(obs_cam, np.int32), np.asarray(obs_pt, np.int32),
+           np.asarray(obs_uv, np.float32), n_tracks)
+    return out + (np.asarray(obs_kp, np.int32),) if return_kp else out
 
 
 def triangulate_tracks(obs_cam: np.ndarray, obs_pt: np.ndarray,

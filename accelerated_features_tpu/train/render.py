@@ -267,3 +267,44 @@ def render_scene_views(rng: np.random.Generator,
         Ks.append(K.copy())
         poses.append(T)
     return {"images": images, "depths": depths, "Ks": Ks, "poses": poses}
+
+
+def render_trajectory(rng: np.random.Generator,
+                      textures: List[np.ndarray],
+                      n_frames: int, w: int, h: int,
+                      n_quads: int = 16,
+                      arc_deg: float = 35.0,
+                      bob_frac: float = 0.04,
+                      loop: bool = True) -> Dict[str, np.ndarray]:
+    """Render a smooth camera TRAJECTORY through one random scene — the
+    ground-truth sequence for the SLAM/ATE benchmark (VERDICT r4 #5;
+    nearest reference anchor is the two-view pose math,
+    reference megadepth_warper.py:18-82 — the reference has no SLAM).
+
+    The camera orbits the scene center about the vertical axis with
+    angle arc_deg * sin(phase) plus a small vertical bob; with
+    `loop=True` the phase runs a full cycle so the path revisits its
+    start (exercising loop closure), otherwise a quarter cycle (pure
+    odometry drift). Returns images (N,h,w,3) uint8, poses (N,4,4)
+    world-to-camera, K (3,3).
+    """
+    quads = make_scene(rng, textures, n_quads=n_quads)
+    centers = [q["p0"] + 0.5 * q["e1"] + 0.5 * q["e2"] for q in quads[1:]]
+    center = np.mean(centers, axis=0)
+    K = make_intrinsics(rng, w, h)
+    d = np.linalg.norm(center)
+
+    phase = np.linspace(0.0, 2 * np.pi if loop else 0.5 * np.pi, n_frames)
+    images, poses = [], []
+    for ph in phase:
+        th = np.deg2rad(arc_deg) * np.sin(ph)
+        c, s = np.cos(th), np.sin(th)
+        Ry = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        cam = center + Ry @ (-center)            # th=0 -> origin
+        cam = cam + np.array([0.0, bob_frac * d * np.sin(2 * ph), 0.0])
+        T = look_at_w2c(cam, center)
+        img, _ = render_view(quads, K, T, h, w)
+        images.append(img)
+        poses.append(T)
+    return {"images": np.stack(images), "poses": np.stack(poses),
+            "K": K}

@@ -70,8 +70,11 @@ def main():
     print(f"[slam] {len(traj)} keyframes -> slam_trajectory.npy")
     if args.gt_poses:
         gt = np.load(args.gt_poses)
+        # keyframes are a subset of frames: compare against the GT pose of
+        # each keyframe's SOURCE frame, not the first len(traj) frames
+        fids = slam.keyframe_frame_ids()
         print(f"[slam] ATE: "
-              f"{absolute_trajectory_error(traj, gt[:len(traj)]):.4f}")
+              f"{absolute_trajectory_error(traj, gt[fids]):.4f}")
 
 
 if __name__ == "__main__":
