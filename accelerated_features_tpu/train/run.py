@@ -157,7 +157,13 @@ class ResidentMegaDepthBatcher:
         self.batch_size = batch_size
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.key(2)
-        self._dev = {k: jnp.asarray(v) for k, v in views.items()}
+        # depths ride HBM as bf16 (halves the dominant resident buffer:
+        # 2.35 GB -> 1.17 GB for the 1206-view round-5 dataset, which
+        # otherwise OOMs the v5e at the step-checkpoint readback). bf16's
+        # ~0.4% relative precision is far inside the 3% depth-consistency
+        # tolerance spvs_coarse filters with (train/warp.py).
+        self._dev = {k: jnp.asarray(v, jnp.bfloat16) if k == "depths"
+                     else jnp.asarray(v) for k, v in views.items()}
 
         def gen(key, idx, dev):
             i0 = dev["pair_i0"][idx]
@@ -165,8 +171,8 @@ class ResidentMegaDepthBatcher:
             d = {
                 "image0": to_unit_float(dev["images"][i0]),
                 "image1": to_unit_float(dev["images"][i1]),
-                "depth0": dev["depths"][i0],
-                "depth1": dev["depths"][i1],
+                "depth0": dev["depths"][i0].astype(jnp.float32),
+                "depth1": dev["depths"][i1].astype(jnp.float32),
                 "K0": dev["Ks"][i0], "K1": dev["Ks"][i1],
                 "T_0to1": dev["T_0to1"][idx],
                 "T_1to0": dev["T_1to0"][idx],

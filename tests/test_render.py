@@ -176,8 +176,13 @@ def test_resident_batcher_matches_streaming_gt(mini_dataset):
     data = {
         "image0": jnp.asarray(views["images"][i0], jnp.float32)[None] / 255,
         "image1": jnp.asarray(views["images"][i1], jnp.float32)[None] / 255,
-        "depth0": jnp.asarray(views["depths"][i0])[None],
-        "depth1": jnp.asarray(views["depths"][i1])[None],
+        # the batcher stores depths bf16-quantized in HBM (halves the
+        # dominant resident buffer; run.py ResidentMegaDepthBatcher) —
+        # round the direct path identically so set equality stays exact
+        "depth0": jnp.asarray(views["depths"][i0],
+                              jnp.bfloat16).astype(jnp.float32)[None],
+        "depth1": jnp.asarray(views["depths"][i1],
+                              jnp.bfloat16).astype(jnp.float32)[None],
         "K0": jnp.asarray(views["Ks"][i0])[None],
         "K1": jnp.asarray(views["Ks"][i1])[None],
         "T_0to1": jnp.asarray(views["T_0to1"][0])[None],
