@@ -269,7 +269,16 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--workers", type=int, default=0,
                     help="spawn-pool size for host RANSAC in --batched mode")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. 'cpu') so evals can "
+                         "run while the TPU is busy training; the env var "
+                         "JAX_PLATFORMS is overridden by this image's "
+                         "sitecustomize, so a config.update is required")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.batched:
         if args.matcher != "xfeat":

@@ -66,8 +66,14 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
     logits = logits.astype(jnp.float32)
 
     kheat = heatmap_decode(logits)                       # (B, H, W)
+    import os as _os
+    _fused_env = _os.environ.get("XFEAT_FUSED_DETECT", "auto")
+    if _fused_env not in ("auto", "0", "1"):
+        raise ValueError(f"XFEAT_FUSED_DETECT={_fused_env!r}; expected "
+                         "'auto', '0' or '1'")
     use_fused = (compute_dtype == jnp.bfloat16
-                 and jax.default_backend() == "tpu")
+                 and jax.default_backend() == "tpu"
+                 if _fused_env == "auto" else _fused_env == "1")
     if use_fused:
         # Pallas fused NMS+score+3x3-reduce kernel with the winner's
         # in-tile position packed into the score mantissa (identical

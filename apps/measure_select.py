@@ -112,6 +112,21 @@ def main():
             finally:
                 EX.heatmap_decode = orig
 
+            # fused Pallas detect vs XLA NMS+topk, END-TO-END under the
+            # honest harness (the round-4 fused-wins verdict was measured
+            # with loop-constant inputs; re-decided here, DESIGN.md 10e)
+            import os as _os
+            for fused in ("1", "0"):
+                _os.environ["XFEAT_FUSED_DETECT"] = fused
+                f = jax.jit(lambda p, x: EX.detect_and_compute(
+                    p, x, top_k=K, detection_threshold=0.05,
+                    compute_dtype=jnp.bfloat16))
+                dt = scan_time(f, params, imgs, iters=args.iters,
+                               perturb_ints=True)
+                emit(stage="e2e", variant=f"fused_detect={fused}",
+                     shape=shape, ms_per_batch=dt * 1e3, fps=B / dt)
+            _os.environ.pop("XFEAT_FUSED_DETECT", None)
+
 
 if __name__ == "__main__":
     main()
