@@ -466,6 +466,12 @@ class IncrementalSlam:
             if best is None or ver[4] > best[5]:
                 i0, i1, rel, mask, n_inl, _n_shared = ver
                 best = (self.keyframes[cand], i0, i1, rel, mask, n_inl)
+                # _verify_pair set _pending_depths for THIS candidate;
+                # snapshot it so a later (worse) candidate's verification
+                # cannot leave its depths attached to the best anchor
+                best_pending = dict(self._pending_depths)
+        if best is not None:
+            self._pending_depths = best_pending
         return best
 
     def _insert_keyframe(self, feats, pose6) -> int:
