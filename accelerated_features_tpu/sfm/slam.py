@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ..geometry import (decompose_homography, estimate_homography,
                         estimate_relative_pose)
 from .ba import BAProblem, bundle_adjust, reprojection_rmse
-from .lie import se3_compose, se3_from_Rt
+from .lie import se3_compose, se3_from_Rt, se3_inverse, so3_exp, so3_log
 from .posegraph import PoseGraph, optimize_pose_graph
 from .tracks import build_tracks, triangulate_tracks
 
@@ -71,6 +71,13 @@ class SlamConfig:
     # matches); 80 keeps only edges whose pose quality matches odometry's
     loop_min_inliers: int = 80      # RANSAC inliers to accept a loop
     loop_min_scale_votes: int = 5   # stored-depth votes to trust edge scale
+    # a loop edge must roughly AGREE with the current pose estimates:
+    # accumulated drift over a window-BA'd trajectory is bounded (<~15
+    # deg here), so an edge whose measured rotation differs from the
+    # current estimate by more than this is a false loop (repeated
+    # textures produce consistent wrong matches with real inlier counts
+    # — measured 45-60 deg rotation error at 85+ inliers)
+    loop_max_rot_residual_deg: float = 30.0
     reloc_min_inliers: int = 25     # RANSAC inliers to accept a reloc
 
 
@@ -436,6 +443,15 @@ class IncrementalSlam:
                 # resolved against the anchor's depth map would inject a
                 # unit-norm guess into the pose graph — measured to
                 # corrupt the whole trajectory; skip it
+                continue
+            rel_est = np.asarray(se3_compose(
+                jnp.asarray(kf_new.pose6),
+                se3_inverse(jnp.asarray(self.keyframes[cand].pose6))))
+            rot_resid = float(np.degrees(np.linalg.norm(
+                np.asarray(so3_log(
+                    so3_exp(jnp.asarray(rel[:3])).T
+                    @ so3_exp(jnp.asarray(rel_est[:3])))))))
+            if rot_resid > self.cfg.loop_max_rot_residual_deg:
                 continue
             mask_idx = np.nonzero(mask)[0]
             self.pair_matches[(cand, new_idx)] = (i0[mask_idx], i1[mask_idx])
