@@ -10,7 +10,7 @@ are small; the landmark-scale work lives in BA).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -62,9 +62,21 @@ def pgo_cost(poses: jax.Array, edges_i: jax.Array, edges_j: jax.Array,
 
 
 def optimize_pose_graph(graph: PoseGraph, iters: int = 20,
-                        lam0: float = 1e-4, fix_first: bool = True
+                        lam0: float = 1e-4, fix_first: bool = True,
+                        robust_c: Optional[float] = 0.7
                         ) -> Tuple[np.ndarray, Dict[str, float]]:
-    """Dense LM on the pose graph. Returns optimized (N,6) poses."""
+    """Dense LM on the pose graph with IRLS Cauchy robustification.
+
+    `robust_c`: Cauchy scale on the per-edge residual norm (se3 log
+    units). A FALSE loop edge — repeated scene texture can produce
+    geometrically self-consistent wrong matches that pass inlier and
+    scale gates — would otherwise warp the whole trajectory, since
+    quadratic cost lets one ~1-rad edge outvote dozens of ~0.05-rad
+    ones. IRLS: each LM step reweights every edge by
+    1/(1 + ||r||^2/c^2) at the CURRENT poses, so inconsistent edges get
+    asymptotically zero influence while near-consensus edges keep full
+    weight. None disables (pure least squares). Returns optimized (N,6)
+    poses."""
     n = len(graph.poses)
     if n == 0 or not graph.edges:
         return graph.poses, {"initial_cost": 0.0, "final_cost": 0.0}
@@ -74,18 +86,26 @@ def optimize_pose_graph(graph: PoseGraph, iters: int = 20,
     wts = jnp.asarray(graph.weights)
     poses0 = jnp.asarray(graph.poses)
 
-    def residual_vec(poses_flat):
+    def robust_w(poses):
+        if robust_c is None:
+            return jnp.ones(len(graph.edges), wts.dtype)
+        r = jax.vmap(edge_residual)(poses[ei], poses[ej], meas)
+        rn2 = jnp.sum(r ** 2, axis=-1)
+        return 1.0 / (1.0 + rn2 / (robust_c ** 2))
+
+    def residual_vec(poses_flat, w_eff):
         poses = poses_flat.reshape(n, 6)
         r = jax.vmap(edge_residual)(poses[ei], poses[ej], meas)
-        return (jnp.sqrt(wts)[:, None] * r).reshape(-1)
+        return (jnp.sqrt(w_eff)[:, None] * r).reshape(-1)
 
     @jax.jit
     def lm(poses0):
         def body(_, state):
             poses, lam, cost_prev = state
             flat = poses.reshape(-1)
-            J = jax.jacfwd(residual_vec)(flat)
-            r = residual_vec(flat)
+            w_eff = wts * robust_w(poses)   # IRLS: frozen for this step
+            J = jax.jacfwd(residual_vec)(flat, w_eff)
+            r = residual_vec(flat, w_eff)
             H = J.T @ J + lam * jnp.eye(flat.shape[0])
             g = J.T @ r
             if fix_first:
@@ -96,8 +116,11 @@ def optimize_pose_graph(graph: PoseGraph, iters: int = 20,
                 g = jnp.where(m, 0.0, g)
             dx = jnp.linalg.solve(H, -g)
             new = (flat + dx).reshape(n, 6)
-            cost_new = pgo_cost(new, ei, ej, meas, wts)
-            accept = cost_new < cost_prev
+            # accept test under THIS step's frozen IRLS weights so the
+            # comparison is apples-to-apples (classic IRLS-LM)
+            cost_prev_eff = 0.5 * jnp.sum(r ** 2)
+            cost_new = pgo_cost(new.reshape(n, 6), ei, ej, meas, w_eff)
+            accept = cost_new < cost_prev_eff
             poses = jnp.where(accept, new, poses)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                             jnp.minimum(lam * 4.0, 1e3))

@@ -71,13 +71,16 @@ class SlamConfig:
     # matches); 80 keeps only edges whose pose quality matches odometry's
     loop_min_inliers: int = 80      # RANSAC inliers to accept a loop
     loop_min_scale_votes: int = 5   # stored-depth votes to trust edge scale
-    # a loop edge must roughly AGREE with the current pose estimates:
-    # accumulated drift over a window-BA'd trajectory is bounded (<~15
-    # deg here), so an edge whose measured rotation differs from the
-    # current estimate by more than this is a false loop (repeated
-    # textures produce consistent wrong matches with real inlier counts
-    # — measured 45-60 deg rotation error at 85+ inliers)
-    loop_max_rot_residual_deg: float = 30.0
+    # a loop edge must roughly AGREE with the current pose estimates,
+    # with an allowance that GROWS with the temporal gap (drift
+    # accumulates per keyframe, and long-range loops are exactly the
+    # ones that must be allowed to contradict a drifted estimate):
+    # allowed = base + per_gap * (j - i). Repeated textures produce
+    # geometrically consistent FALSE matches on SHORT-range pairs
+    # (measured: 45-60 deg rotation error at 85+ inliers, gaps <= 7) —
+    # those stay gated; a gap-40 true loop gets ~75 deg of slack.
+    loop_max_rot_residual_deg: float = 15.0
+    loop_rot_residual_per_gap_deg: float = 1.5
     reloc_min_inliers: int = 25     # RANSAC inliers to accept a reloc
 
 
@@ -451,7 +454,10 @@ class IncrementalSlam:
                 np.asarray(so3_log(
                     so3_exp(jnp.asarray(rel[:3])).T
                     @ so3_exp(jnp.asarray(rel_est[:3])))))))
-            if rot_resid > self.cfg.loop_max_rot_residual_deg:
+            allowed = (self.cfg.loop_max_rot_residual_deg
+                       + self.cfg.loop_rot_residual_per_gap_deg
+                       * (new_idx - cand))
+            if rot_resid > allowed:
                 continue
             mask_idx = np.nonzero(mask)[0]
             self.pair_matches[(cand, new_idx)] = (i0[mask_idx], i1[mask_idx])

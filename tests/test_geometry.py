@@ -271,3 +271,63 @@ def test_megadepth_precomputed_tpu_backend():
                                       pose_backend="tpu")
     assert s_pk["auc@5"] > 0.5
     assert s_tpu["auc@5"] > s_pk["auc@5"] - 0.25
+
+
+def test_decompose_homography_exact_recovery():
+    """Faugeras SVD decomposition recovers the true (R, t/|t|, n) from a
+    plane-induced pixel homography in 100/100 random configurations, and
+    collapses to the pure-rotation branch (single candidate, t=0) when
+    the camera only rotates — the machinery sfm.slam uses to survive the
+    planar degeneracy of the essential matrix."""
+    import numpy as np
+
+    from accelerated_features_tpu.geometry import decompose_homography
+
+    rng = np.random.default_rng(0)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+
+    def rot(w):
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.eye(3)
+        ax = w / th
+        Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                       [-ax[1], ax[0], 0]])
+        return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+
+    ok = 0
+    for _ in range(100):
+        R = rot(rng.normal(size=3) * 0.2)
+        t = rng.normal(size=3)
+        t = t / np.linalg.norm(t) * rng.uniform(0.2, 1.0)
+        n = rng.normal(size=3)
+        n[2] = abs(n[2]) + 1.0
+        n /= np.linalg.norm(n)
+        d = rng.uniform(2.0, 6.0)
+        H = K @ (R + np.outer(t, n) / d) @ np.linalg.inv(K)
+        pts3 = []
+        while len(pts3) < 12:
+            x, y = rng.uniform(-2, 2, 2)
+            z = (d - n[0] * x - n[1] * y) / n[2]
+            if z > 0.3:
+                pts3.append([x, y, z])
+        pts3 = np.asarray(pts3)
+        p0 = pts3 @ K.T
+        p0 = p0[:, :2] / p0[:, 2:]
+        c1 = pts3 @ R.T + t
+        p1 = c1 @ K.T
+        p1 = p1[:, :2] / p1[:, 2:]
+        cands = decompose_homography(H, K, K, p0, p1)
+        best = min(cands, key=lambda c: np.linalg.norm(c[0] - R))
+        if (np.linalg.norm(best[0] - R) < 1e-7 and
+                abs(np.dot(best[1], t / np.linalg.norm(t))) > 1 - 1e-8):
+            ok += 1
+    assert ok == 100, ok
+
+    # pure rotation -> single candidate, zero translation
+    R = rot(np.array([0.05, -0.1, 0.02]))
+    H = K @ R @ np.linalg.inv(K)
+    cands = decompose_homography(H, K, K)
+    assert len(cands) == 1
+    np.testing.assert_allclose(cands[0][0], R, atol=1e-8)
+    np.testing.assert_allclose(cands[0][1], 0.0, atol=1e-12)
