@@ -95,13 +95,29 @@ def detect_and_compute(params: Dict[str, Any], images: jax.Array,
         # in HBM; past ~4 GB (large batches at high resolution) switch to
         # the VMEM-resident Pallas sampler, which trades ~1.7x stage time
         # for O(B*K*c) HBM footprint (measured: matmul 6.5 ms vs fused
-        # ~16 ms per VGA b64 batch, but fused never OOMs).
+        # ~16 ms per VGA b64 batch, but fused never OOMs). XFEAT_BICUBIC
+        # in {'auto','matmul','fused','w2'} overrides ('w2' = the
+        # single-contraction VMEM kernel, pallas/bicubic.py
+        # sample_bicubic_w2 — the A/B candidate for retiring the
+        # HBM-bound matmul path).
+        _bic = _os.environ.get("XFEAT_BICUBIC", "auto")
+        if _bic not in ("auto", "matmul", "fused", "w2"):
+            raise ValueError(f"XFEAT_BICUBIC={_bic!r}; expected one of "
+                             "auto/matmul/fused/w2")
         mid_bytes = b * top_k * (W // 8) * 64 * 2
-        if jax.default_backend() == "tpu" and mid_bytes > 4 << 30:
+        if _bic == "auto":
+            _bic = "fused" if (jax.default_backend() == "tpu"
+                               and mid_bytes > 4 << 30) else "matmul"
+        if _bic == "fused":
             from .pallas.bicubic import sample_bicubic_fused
             descs = sample_bicubic_fused(feats, kpts_i.astype(jnp.float32),
                                          (H, W), normalize=True,
                                          interpret=False)
+        elif _bic == "w2":
+            from .pallas.bicubic import sample_bicubic_w2
+            descs = sample_bicubic_w2(feats, kpts_i.astype(jnp.float32),
+                                      (H, W), normalize=True,
+                                      interpret=False)
         else:
             descs = l2_normalize(sample_bicubic_matmul(
                 feats, kpts_i.astype(jnp.float32), (H, W)))

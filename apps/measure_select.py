@@ -127,6 +127,25 @@ def main():
                      shape=shape, ms_per_batch=dt * 1e3, fps=B / dt)
             _os.environ.pop("XFEAT_FUSED_DETECT", None)
 
+            # bicubic descriptor-sampling variants, END-TO-END: the XLA
+            # matmul path is HBM-bound on a (B,K,w,c) intermediate
+            # (~2.7 GB at VGA b64); 'w2' is the single-MXU-contraction
+            # VMEM kernel built to retire it (pallas/bicubic.py)
+            for bic in ("matmul", "fused", "w2"):
+                _os.environ["XFEAT_BICUBIC"] = bic
+                f = jax.jit(lambda p, x: EX.detect_and_compute(
+                    p, x, top_k=K, detection_threshold=0.05,
+                    compute_dtype=jnp.bfloat16))
+                try:
+                    dt = scan_time(f, params, imgs, iters=args.iters,
+                                   perturb_ints=True)
+                    emit(stage="e2e", variant=f"bicubic={bic}",
+                         shape=shape, ms_per_batch=dt * 1e3, fps=B / dt)
+                except Exception as e:
+                    emit(stage="e2e", variant=f"bicubic={bic}",
+                         shape=shape, error=str(e)[:200])
+            _os.environ.pop("XFEAT_BICUBIC", None)
+
 
 if __name__ == "__main__":
     main()

@@ -47,3 +47,30 @@ def test_mxu_bicubic_edge_positions(rng):
     ref = np.asarray(sample_bicubic(maps, pos, HW))
     got = np.asarray(sample_bicubic_mxu(maps, pos, HW, interpret=True))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_sample_bicubic_w2_parity():
+    """The single-contraction W2 kernel (pallas/bicubic.sample_bicubic_w2)
+    matches the f32 gather reference + L2-norm to bf16 tolerance across
+    shapes incl. non-multiple-of-8 heights and padded keypoint tiles."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from accelerated_features_tpu.ops.extraction import l2_normalize
+    from accelerated_features_tpu.ops.pallas.bicubic import sample_bicubic_w2
+    from accelerated_features_tpu.ops.sample import sample_bicubic
+
+    rng = np.random.default_rng(1)
+    for (h, w, K, H, W) in [(60, 80, 300, 480, 640),
+                            (38, 50, 70, 304, 400),
+                            (96, 128, 512, 768, 1024)]:
+        maps = jnp.asarray(rng.normal(size=(2, h, w, 64)).astype(np.float32))
+        pos = jnp.asarray(np.stack([
+            rng.uniform(2, W - 3, (2, K)),
+            rng.uniform(2, H - 3, (2, K))], -1).astype(np.float32))
+        ref = np.asarray(l2_normalize(sample_bicubic(maps, pos, (H, W))))
+        got = np.asarray(sample_bicubic_w2(maps, pos, (H, W),
+                                           interpret=True))
+        np.testing.assert_allclose(got, ref, atol=6e-3)
