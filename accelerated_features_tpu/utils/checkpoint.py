@@ -30,6 +30,27 @@ def _flatten(tree, prefix=""):
     return out
 
 
+def _name_alias_map(tree, prefix="", nprefix=""):
+    """{name-variant path: canonical positional path} for every leaf,
+    where namedtuple levels (optax states) also key by field name —
+    lets restore_checkpoint accept exports that flattened namedtuples
+    by field ('opt_state/1/mu/w') instead of position
+    ('opt_state/1/1/w')."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_name_alias_map(v, f"{prefix}{k}/", f"{nprefix}{k}/"))
+    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "shape"):
+        fields = getattr(tree, "_fields", None)
+        for i, v in enumerate(tree):
+            name = fields[i] if fields else str(i)
+            out.update(_name_alias_map(v, f"{prefix}{i}/",
+                                       f"{nprefix}{name}/"))
+    else:
+        out[nprefix[:-1]] = prefix[:-1]
+    return out
+
+
 def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], step: int,
                     keep: int = 5) -> str:
     """Save full train state; prunes old checkpoints beyond `keep`."""
@@ -82,6 +103,20 @@ def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=True))
         flat_target = _flatten(target)
+        if set(flat) != set(flat_target):
+            # some exports (orbax restore -> np.savez) key namedtuple
+            # fields by NAME ('opt_state/1/mu/...') where _flatten keys
+            # positionally ('opt_state/1/1/...'). Build the name-variant
+            # paths from the TARGET's own structure and translate.
+            alias = _name_alias_map(target)
+            flat = {alias.get(k, k): v for k, v in flat.items()}
+            # empty optax states (clip's EmptyState) appear in such
+            # exports as pickled-None placeholders with no counterpart
+            # in the positional flatten — drop them
+            flat = {k: v for k, v in flat.items()
+                    if not (getattr(v, "dtype", None) == object
+                            and getattr(v, "ndim", 1) == 0
+                            and v.item() is None)}
         missing = set(flat_target) - set(flat)
         extra = set(flat) - set(flat_target)
         assert not missing and not extra, (

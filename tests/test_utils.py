@@ -331,3 +331,36 @@ def test_bench_guard_refuses_below_sol():
     assert bench_mod.guarded_ms(0.8e-3, 0.6e-3) == 0.8
     # no cost analysis (floor 0.0) -> guard degrades to a no-op
     assert bench_mod.guarded_ms(0.09e-3, 0.0) == 0.09
+
+
+def test_restore_checkpoint_accepts_field_named_optax_keys(tmp_path):
+    """Some exports (orbax restore -> np.savez round trip) flatten optax
+    namedtuple states by FIELD name ('opt_state/1/mu/...') and store
+    EmptyState as a pickled None; restore_checkpoint must translate them
+    onto the positional schema instead of refusing to resume (the
+    round-4 run_md_ckpt13250.npz artifact is this shape)."""
+    from accelerated_features_tpu.models.params import init_xfeat_params
+    from accelerated_features_tpu.train.trainer import (TrainConfig,
+                                                        init_train_state)
+    from accelerated_features_tpu.utils.checkpoint import (_flatten,
+                                                           restore_checkpoint)
+
+    cfg = TrainConfig(use_distill=False, use_kp_position=True)
+    state = jax.device_get(init_train_state(
+        init_xfeat_params(jax.random.key(3)), cfg))
+    # build the field-named export shape from the canonical one
+    flat = _flatten(state)
+    renamed = {}
+    for k, v in flat.items():
+        k2 = k.replace("opt_state/1/0", "opt_state/1/count")
+        k2 = k2.replace("opt_state/1/1/", "opt_state/1/mu/")
+        k2 = k2.replace("opt_state/1/2/", "opt_state/1/nu/")
+        k2 = k2.replace("opt_state/2/0", "opt_state/2/count")
+        renamed[k2] = v
+    renamed["opt_state/0"] = np.asarray(None, dtype=object)
+    path = str(tmp_path / "export.npz")
+    np.savez(path, **renamed)
+
+    got = restore_checkpoint(path, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
