@@ -76,6 +76,9 @@ def main():
                     help="default: 0.012 for random init, 0.05 trained")
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu) so the sweep can "
+                         "run while the TPU is busy training")
     ap.add_argument("--matcher", type=str, default="mnn",
                     choices=["mnn", "star", "lighterglue"],
                     help="mnn: match_xfeat; star: semi-dense "
@@ -90,6 +93,10 @@ def main():
                          "filter_threshold 0.1); each value is one "
                          "result row, programs are reused across rows")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from accelerated_features_tpu import XFeat
     from accelerated_features_tpu.geometry import estimate_homography
